@@ -1,0 +1,156 @@
+"""Static-shape target assignment (pure JAX).
+
+TPU rebuild of the reference's ``MaxIoUAssigner``
+(reference: mmdet/core/bbox/assigners/max_iou_assigner.py:10-212). Instead of
+dynamic filtering, every candidate box carries a validity flag and padded GTs
+carry a validity flag; the assignment is computed densely over the fixed
+``(num_gts, num_boxes)`` overlap matrix.
+
+Assignment encoding matches the reference exactly:
+  * ``-1``: ignore (ignored candidate / covered by an ignore region)
+  * ``0``:  negative (background)
+  * ``k>0``: assigned to GT ``k-1``
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ..utils.registry import BBOX_ASSIGNERS
+from .bbox_transforms import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    """Dense assignment over a fixed number of candidate boxes.
+
+    Mirrors the reference's AssignResult (assigners/assign_result.py) with
+    static shapes: ``gt_inds`` uses the same -1/0/k encoding, ``labels`` is the
+    assigned class per box (-1 where unassigned).
+    """
+    gt_inds: jnp.ndarray       # (N,) int32
+    max_overlaps: jnp.ndarray  # (N,) float32
+    labels: jnp.ndarray        # (N,) int32
+
+
+@BBOX_ASSIGNERS.register_module()
+class MaxIoUAssigner:
+    """Max-IoU assignment with the reference's 4-step semantics.
+
+    Steps (max_iou_assigner.py:assign_wrt_overlaps):
+      1. default -1;  2. max-IoU < neg_thr -> 0;  3. max-IoU >= pos_thr ->
+      best gt;  4. (match_low_quality) each gt claims its best-overlap boxes
+      if that overlap >= min_pos_iou, later gts overwriting earlier ones.
+    """
+
+    def __init__(self,
+                 pos_iou_thr: float,
+                 neg_iou_thr: Union[float, Tuple[float, float]],
+                 min_pos_iou: float = 0.0,
+                 gt_max_assign_all: bool = True,
+                 ignore_iof_thr: float = -1,
+                 ignore_wrt_candidates: bool = True,
+                 match_low_quality: bool = True,
+                 gpu_assign_thr: int = -1,
+                 iou_calculator: Optional[dict] = None):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+        self.ignore_iof_thr = ignore_iof_thr
+        self.ignore_wrt_candidates = ignore_wrt_candidates
+        self.match_low_quality = match_low_quality
+        # gpu_assign_thr / iou_calculator accepted for config compatibility.
+
+    def __call__(self,
+                 boxes: jnp.ndarray,
+                 box_valid: jnp.ndarray,
+                 gt_boxes: jnp.ndarray,
+                 gt_valid: jnp.ndarray,
+                 gt_labels: Optional[jnp.ndarray] = None,
+                 gt_boxes_ignore: Optional[jnp.ndarray] = None,
+                 gt_ignore_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        """Assign padded GTs to padded candidate boxes.
+
+        Args:
+            boxes: (N, 4) candidates (anchors or proposals), padded.
+            box_valid: (N,) bool — False entries are never assigned (stay -1).
+            gt_boxes: (K, 4) padded GT boxes.
+            gt_valid: (K,) bool.
+            gt_labels: (K,) int32 class ids (optional).
+            gt_boxes_ignore / gt_ignore_valid: padded ignore regions
+                (COCO crowd boxes), applied when ``ignore_iof_thr > 0``.
+        """
+        num_gts = gt_boxes.shape[0]
+        box_valid = box_valid.astype(bool)
+        gt_valid = gt_valid.astype(bool)
+
+        overlaps = bbox_overlaps(gt_boxes, boxes)  # (K, N)
+        # Invalid gts / invalid boxes never overlap anything.
+        overlaps = jnp.where(gt_valid[:, None] & box_valid[None, :], overlaps, -1.0)
+
+        if (self.ignore_iof_thr > 0 and gt_boxes_ignore is not None):
+            ig_valid = (gt_ignore_valid if gt_ignore_valid is not None
+                        else jnp.ones(gt_boxes_ignore.shape[0], bool)).astype(bool)
+            if self.ignore_wrt_candidates:
+                ig = bbox_overlaps(boxes, gt_boxes_ignore, mode='iof')  # (N, I)
+                ig = jnp.where(ig_valid[None, :], ig, -1.0)
+                ignore_max = jnp.max(ig, axis=1) if ig.shape[1] else jnp.zeros(boxes.shape[0])
+            else:
+                ig = bbox_overlaps(gt_boxes_ignore, boxes, mode='iof')  # (I, N)
+                ig = jnp.where(ig_valid[:, None], ig, -1.0)
+                ignore_max = jnp.max(ig, axis=0) if ig.shape[0] else jnp.zeros(boxes.shape[0])
+            overlaps = jnp.where((ignore_max > self.ignore_iof_thr)[None, :],
+                                 -1.0, overlaps)
+
+        # Per-box best gt; per-gt best box.
+        max_overlaps = jnp.max(overlaps, axis=0)          # (N,)
+        argmax_overlaps = jnp.argmax(overlaps, axis=0)    # (N,)
+        gt_max_overlaps = jnp.max(overlaps, axis=1)       # (K,)
+
+        assigned = jnp.full(boxes.shape[0], -1, jnp.int32)
+
+        # Step 2: negatives.
+        if isinstance(self.neg_iou_thr, (tuple, list)):
+            lo, hi = self.neg_iou_thr
+            neg = (max_overlaps >= lo) & (max_overlaps < hi)
+        else:
+            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+        assigned = jnp.where(neg, 0, assigned)
+
+        # Step 3: positives above pos_iou_thr.
+        pos = max_overlaps >= self.pos_iou_thr
+        assigned = jnp.where(pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+        # Step 4: low-quality matches — each valid gt claims boxes tying its
+        # best overlap. The reference's python loop is order-dependent (later
+        # gts overwrite); densely, each box takes the LAST claiming gt.
+        if self.match_low_quality:
+            claim = (gt_valid & (gt_max_overlaps >= self.min_pos_iou))[:, None]
+            if self.gt_max_assign_all:
+                claim = claim & (overlaps == gt_max_overlaps[:, None]) & (overlaps > -1)
+            else:
+                best_box = jnp.argmax(overlaps, axis=1)
+                onehot = jnp.zeros_like(overlaps, dtype=bool)
+                onehot = onehot.at[jnp.arange(num_gts), best_box].set(True)
+                claim = claim & onehot
+            gt_ids = jnp.arange(num_gts, dtype=jnp.int32)[:, None]
+            last_claim = jnp.max(jnp.where(claim, gt_ids, -1), axis=0)  # (N,)
+            assigned = jnp.where(last_claim >= 0, last_claim + 1, assigned)
+
+        # No valid gt at all -> everything background (reference: num_gts == 0
+        # branch of assign_wrt_overlaps).
+        any_gt = jnp.any(gt_valid)
+        assigned = jnp.where(any_gt, assigned, jnp.zeros_like(assigned))
+        # Invalid candidate boxes are never assigned.
+        assigned = jnp.where(box_valid, assigned, -1)
+        max_overlaps = jnp.where(box_valid, jnp.maximum(max_overlaps, 0.0), 0.0)
+
+        if gt_labels is not None:
+            safe_gt = jnp.clip(assigned - 1, 0, num_gts - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe_gt], -1).astype(jnp.int32)
+        else:
+            labels = jnp.full(boxes.shape[0], -1, jnp.int32)
+
+        return AssignResult(assigned, max_overlaps, labels)

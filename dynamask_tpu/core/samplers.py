@@ -1,0 +1,145 @@
+"""Static-shape positive/negative sampling (pure JAX).
+
+TPU rebuild of the reference's ``RandomSampler`` + ``SamplingResult``
+(reference: mmdet/core/bbox/samplers/random_sampler.py:8-78,
+sampling_result.py). Sampling runs densely: every candidate gets a random
+priority key; exactly ``num`` output slots are produced, positives packed
+first, padded slots flagged invalid. The expected counts follow the reference:
+``num_expected_pos = round(num * pos_fraction)``; if fewer positives exist the
+remaining budget goes to negatives (random_sampler.py:sample).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import BBOX_SAMPLERS
+from .assigners import AssignResult
+
+_BIG = jnp.float32(1e9)
+
+
+class SamplingResult(NamedTuple):
+    """Fixed-size sample of candidate boxes.
+
+    ``inds`` indexes into the candidate array; slots are ordered positives
+    first (random order within each group), then negatives, then padding.
+    """
+    inds: jnp.ndarray        # (num,) int32 indices into candidates
+    is_pos: jnp.ndarray      # (num,) bool
+    valid: jnp.ndarray       # (num,) bool — False for padded slots
+    boxes: jnp.ndarray       # (num, 4) gathered candidate boxes
+    gt_inds: jnp.ndarray     # (num,) int32 0-based assigned gt (0 where not pos)
+    labels: jnp.ndarray      # (num,) int32 class of assigned gt (-1 where not pos)
+    target_boxes: jnp.ndarray  # (num, 4) assigned gt boxes (zeros where not pos)
+
+
+@BBOX_SAMPLERS.register_module()
+class RandomSampler:
+    """Uniform random pos/neg sampling with a fixed output size."""
+
+    def __init__(self,
+                 num: int,
+                 pos_fraction: float,
+                 neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True,
+                 **kwargs):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def __call__(self,
+                 rng: jax.Array,
+                 assign: AssignResult,
+                 boxes: jnp.ndarray,
+                 gt_boxes: jnp.ndarray,
+                 gt_valid: Optional[jnp.ndarray] = None) -> SamplingResult:
+        """Sample ``self.num`` slots from assigned candidates.
+
+        Args:
+            rng: PRNG key for the random priorities.
+            assign: dense assignment over the candidates.
+            boxes: (N, 4) candidate boxes (already including GTs if
+                ``add_gt_as_proposals`` was applied by the caller).
+            gt_boxes: (K, 4) padded gt boxes, for positive target lookup.
+            gt_valid: (K,) bool (unused; kept for interface symmetry).
+        """
+        n = boxes.shape[0]
+        is_pos_cand = assign.gt_inds > 0
+        is_neg_cand = assign.gt_inds == 0
+
+        num_expected_pos = int(round(self.num * self.pos_fraction))
+
+        r = jax.random.uniform(rng, (n,))
+        # Rank positives among positives, negatives among negatives.
+        pos_key = jnp.where(is_pos_cand, r, _BIG)
+        pos_rank = jnp.argsort(jnp.argsort(pos_key))  # dense rank, ties broken by index
+        sel_pos = is_pos_cand & (pos_rank < num_expected_pos)
+        num_pos = jnp.sum(sel_pos)
+
+        neg_key = jnp.where(is_neg_cand, r, _BIG)
+        neg_rank = jnp.argsort(jnp.argsort(neg_key))
+        num_expected_neg = self.num - num_pos  # traced scalar — fine elementwise
+        if self.neg_pos_ub >= 0:
+            num_expected_neg = jnp.minimum(
+                num_expected_neg, jnp.maximum(1, self.neg_pos_ub * num_pos))
+        sel_neg = is_neg_cand & (neg_rank < num_expected_neg)
+
+        # Pack: positives (key = pos_rank), then negatives (key = num + neg_rank),
+        # padding last.
+        pack_key = jnp.where(
+            sel_pos, pos_rank.astype(jnp.float32),
+            jnp.where(sel_neg, (self.num + neg_rank).astype(jnp.float32), _BIG))
+        order = jnp.argsort(pack_key)
+        inds = order[:self.num].astype(jnp.int32)
+        slot_key = pack_key[inds]
+        valid = slot_key < _BIG
+        is_pos = sel_pos[inds] & valid
+
+        sampled_boxes = boxes[inds]
+        gt_inds0 = jnp.clip(assign.gt_inds[inds] - 1, 0, gt_boxes.shape[0] - 1)
+        gt_inds0 = jnp.where(is_pos, gt_inds0, 0).astype(jnp.int32)
+        labels = jnp.where(is_pos, assign.labels[inds], -1).astype(jnp.int32)
+        target_boxes = jnp.where(is_pos[:, None], gt_boxes[gt_inds0], 0.0)
+
+        return SamplingResult(inds, is_pos, valid, sampled_boxes,
+                              gt_inds0, labels, target_boxes)
+
+
+@BBOX_SAMPLERS.register_module()
+class PseudoSampler:
+    """Identity 'sampler' used by single-stage heads: keep all pos + neg
+    candidates (reference: samplers/pseudo_sampler.py). Output keeps the full
+    candidate count; padding slots are the ignore (-1) candidates."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, rng, assign: AssignResult, boxes, gt_boxes,
+                 gt_valid=None) -> SamplingResult:
+        n = boxes.shape[0]
+        is_pos = assign.gt_inds > 0
+        valid = assign.gt_inds >= 0
+        inds = jnp.arange(n, dtype=jnp.int32)
+        gt_inds0 = jnp.where(is_pos, jnp.clip(assign.gt_inds - 1, 0,
+                                              gt_boxes.shape[0] - 1), 0)
+        labels = jnp.where(is_pos, assign.labels, -1).astype(jnp.int32)
+        target_boxes = jnp.where(is_pos[:, None], gt_boxes[gt_inds0], 0.0)
+        return SamplingResult(inds, is_pos, valid, boxes,
+                              gt_inds0.astype(jnp.int32), labels, target_boxes)
+
+
+def add_gt_as_proposals(proposals: jnp.ndarray,
+                        proposal_valid: jnp.ndarray,
+                        gt_boxes: jnp.ndarray,
+                        gt_valid: jnp.ndarray):
+    """Prepend GT boxes to the proposal set (reference: base_sampler.py:sample
+    ``add_gt_as_proposals`` branch). Returns concatenated boxes + validity."""
+    boxes = jnp.concatenate([gt_boxes, proposals], axis=0)
+    valid = jnp.concatenate([gt_valid.astype(bool),
+                             proposal_valid.astype(bool)], axis=0)
+    return boxes, valid

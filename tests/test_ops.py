@@ -1,0 +1,235 @@
+"""Golden-value tests for the native-op layer: RoIAlign vs an independent
+numpy port of mmcv's aligned semantics, NMS vs a python greedy reference,
+paste_masks vs torch grid_sample (the reference's _do_paste_mask backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynamask_tpu.ops import (roi_align, multilevel_roi_align, map_roi_levels,
+                              nms, batched_nms, multiclass_nms, paste_masks)
+
+
+# ---------------------------------------------------------------- reference impls
+
+def np_bilinear(feat, y, x):
+    """mmcv bilinear_interpolate: zero outside [-1, H]; edge clamp inside."""
+    h, w = feat.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[2:], feat.dtype)
+    y = min(max(y, 0.0), h - 1)
+    x = min(max(x, 0.0), w - 1)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+    ly, lx = y - y0, x - x0
+    return ((1 - ly) * (1 - lx) * feat[y0, x0] + (1 - ly) * lx * feat[y0, x1] +
+            ly * (1 - lx) * feat[y1, x0] + ly * lx * feat[y1, x1])
+
+
+def np_roi_align(feat, roi, out_size, scale, sr, aligned=True):
+    """Slow scalar port of mmcv roi_align_cuda_kernel (avg mode)."""
+    off = 0.5 if aligned else 0.0
+    x1, y1, x2, y2 = [c * scale - off for c in roi]
+    rw, rh = x2 - x1, y2 - y1
+    if not aligned:
+        rw, rh = max(rw, 1.0), max(rh, 1.0)
+    bw, bh = rw / out_size, rh / out_size
+    out = np.zeros((out_size, out_size) + feat.shape[2:], np.float32)
+    for ph in range(out_size):
+        for pw_ in range(out_size):
+            acc = 0.0
+            for iy in range(sr):
+                for ix in range(sr):
+                    y = y1 + ph * bh + (iy + 0.5) * bh / sr
+                    x = x1 + pw_ * bw + (ix + 0.5) * bw / sr
+                    acc = acc + np_bilinear(feat, y, x)
+            out[ph, pw_] = acc / (sr * sr)
+    return out
+
+
+def py_greedy_nms(boxes, scores, thr):
+    order = np.argsort(-scores, kind='stable')
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(a_i + a - inter, 1e-6)
+        suppressed |= iou > thr
+        suppressed[i] = False
+    return keep
+
+
+# ---------------------------------------------------------------- roi_align
+
+class TestRoIAlign:
+    def test_matches_numpy_reference(self):
+        rng = np.random.RandomState(0)
+        feat = rng.randn(2, 16, 20, 8).astype(np.float32)
+        rois = np.array([
+            [4.0, 4.0, 40.0, 36.0],
+            [0.0, 0.0, 80.0, 64.0],
+            [10.5, 7.25, 30.0, 50.0],
+            [-4.0, -4.0, 12.0, 12.0],   # partially outside
+        ], np.float32)
+        batch = np.array([0, 1, 0, 1], np.int32)
+        out = roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                        jnp.asarray(batch), out_size=7,
+                        spatial_scale=0.25, sampling_ratio=2)
+        for i in range(len(rois)):
+            ref = np_roi_align(feat[batch[i]], rois[i], 7, 0.25, 2)
+            np.testing.assert_allclose(np.asarray(out[i]), ref,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_gradients_flow(self):
+        feat = jnp.ones((1, 8, 8, 4))
+        rois = jnp.array([[0., 0., 16., 16.]])
+
+        def f(x):
+            return roi_align(x, rois, jnp.zeros(1, jnp.int32), 7, 0.5).sum()
+
+        g = jax.grad(f)(feat)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_map_roi_levels(self):
+        # reference routing (single_level_roi_extractor.py:32-51), finest 56:
+        # sqrt(area) < 112 -> 0, <224 -> 1, <448 -> 2, else 3
+        rois = jnp.array([
+            [0, 0, 30, 30], [0, 0, 150, 150], [0, 0, 300, 300],
+            [0, 0, 600, 600]], jnp.float32)
+        lvls = map_roi_levels(rois, 4)
+        np.testing.assert_array_equal(np.asarray(lvls), [0, 1, 2, 3])
+
+    def test_multilevel_matches_single_level(self):
+        rng = np.random.RandomState(1)
+        feats = [jnp.asarray(rng.randn(1, 32 // (2 ** i), 40 // (2 ** i), 8)
+                             .astype(np.float32)) for i in range(4)]
+        strides = (4, 8, 16, 32)
+        # one roi per level
+        rois = np.array([
+            [4., 4., 60., 60.],      # -> lvl 0
+            [0., 0., 130., 130.],    # -> lvl 1
+            [0., 0., 260., 250.],    # -> lvl 2
+            [0., 0., 600., 500.]], np.float32)  # -> lvl 3
+        batch = jnp.zeros(4, jnp.int32)
+        out = multilevel_roi_align(feats, jnp.asarray(rois), batch, 7, strides)
+        for i in range(4):
+            single = roi_align(feats[i], jnp.asarray(rois[i:i + 1]),
+                               jnp.zeros(1, jnp.int32), 7, 1.0 / strides[i])
+            np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single[0]),
+                                       rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- nms
+
+class TestNMS:
+    def test_matches_python_greedy(self):
+        rng = np.random.RandomState(42)
+        n = 200
+        centers = rng.uniform(0, 100, (n, 2))
+        sizes = rng.uniform(5, 30, (n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                               axis=1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+
+        ref_keep = py_greedy_nms(boxes, scores, 0.5)
+        _, out_scores, out_inds, out_valid = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool),
+            iou_threshold=0.5, max_out=n)
+        got = list(np.asarray(out_inds)[np.asarray(out_valid)])
+        assert got == ref_keep
+
+    def test_suppression_chain(self):
+        # A sup B, B sup C, A !sup C -> greedy keeps A and C (fast-NMS would drop C)
+        # IoU(A,B)=IoU(B,C)=0.43 > thr; IoU(A,C)=0.11 < thr
+        boxes = np.array([[0, 0, 10, 10], [4, 0, 14, 10], [8, 0, 18, 10]],
+                         np.float32)
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        _, _, out_inds, out_valid = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                        jnp.ones(3, bool), 0.3, 3)
+        got = list(np.asarray(out_inds)[np.asarray(out_valid)])
+        assert got == [0, 2]
+
+    def test_invalid_excluded(self):
+        boxes = jnp.asarray(np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32))
+        scores = jnp.array([0.5, 0.9])
+        valid = jnp.array([True, False])
+        _, out_scores, out_inds, out_valid = nms(boxes, scores, valid, 0.5, 2)
+        assert int(out_valid.sum()) == 1
+        assert int(out_inds[0]) == 0
+
+    def test_batched_nms_no_cross_class(self):
+        boxes = jnp.asarray(np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32))
+        scores = jnp.array([0.9, 0.8])
+        idxs = jnp.array([0, 1])
+        _, _, _, out_valid = batched_nms(boxes, scores, idxs,
+                                         jnp.ones(2, bool), 0.5, 2)
+        assert int(out_valid.sum()) == 2  # different classes, both kept
+
+    def test_multiclass_nms(self):
+        n, c = 10, 3
+        rng = np.random.RandomState(0)
+        boxes = np.tile(np.array([[0., 0., 20., 20.]], np.float32), (n, 1))
+        boxes += rng.uniform(0, 1, (n, 4)).astype(np.float32)
+        scores = rng.uniform(0, 0.04, (n, c)).astype(np.float32)
+        scores[3, 1] = 0.9  # only this one above score_thr
+        dets, labels, valid = multiclass_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+            iou_threshold=0.5, max_per_img=5)
+        assert int(valid.sum()) == 1
+        assert int(labels[0]) == 1
+        np.testing.assert_allclose(float(dets[0, 4]), 0.9, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- paste
+
+class TestPasteMasks:
+    def test_matches_torch_grid_sample(self):
+        torch = pytest.importorskip('torch')
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(0)
+        n, p = 4, 14
+        masks = rng.uniform(0, 1, (n, p, p)).astype(np.float32)
+        boxes = np.array([
+            [5., 5., 25., 30.],
+            [0., 0., 64., 48.],
+            [-4., -3., 20., 21.],
+            [40., 30., 63., 47.]], np.float32)
+        h, w = 48, 64
+
+        # torch reference — the reference's _do_paste_mask math
+        # (fcn_mask_head.py:240-309)
+        tm = torch.from_numpy(masks)[:, None]
+        x0, y0, x1, y1 = [torch.from_numpy(boxes[:, i:i + 1]) for i in range(4)]
+        img_y = (torch.arange(h, dtype=torch.float32) + 0.5)[None]
+        img_x = (torch.arange(w, dtype=torch.float32) + 0.5)[None]
+        gy = (img_y - y0) / (y1 - y0) * 2 - 1
+        gx = (img_x - x0) / (x1 - x0) * 2 - 1
+        gx_e = gx[:, None, :].expand(n, h, w)
+        gy_e = gy[:, :, None].expand(n, h, w)
+        grid = torch.stack([gx_e, gy_e], dim=3)
+        ref = F.grid_sample(tm, grid, align_corners=False)[:, 0].numpy()
+
+        out = paste_masks(jnp.asarray(masks), jnp.asarray(boxes), h, w)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    def test_chunked_equals_unchunked(self):
+        rng = np.random.RandomState(1)
+        masks = jnp.asarray(rng.uniform(0, 1, (10, 8, 8)).astype(np.float32))
+        boxes = jnp.asarray(
+            np.array([[2, 2, 20, 20]] * 10, np.float32) +
+            rng.uniform(0, 5, (10, 4)).astype(np.float32))
+        a = paste_masks(masks, boxes, 32, 32, chunk=3)
+        b = paste_masks(masks, boxes, 32, 32, chunk=100)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
