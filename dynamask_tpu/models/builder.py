@@ -1,0 +1,188 @@
+"""Config-driven model construction.
+
+Accepts the reference's config schema verbatim (reference:
+mmdet/models/builder.py + configs/dynamask/coco/r50-dynamask-1x.py) and
+translates it into this framework's flax modules. The ``type=`` names match
+the reference registries so configs port unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from ..utils.registry import BACKBONES, NECKS, HEADS, DETECTORS
+from .resnet import ResNet
+from .fpn import FPN, PAFPN
+from .rpn_head import RPNHead
+from .bbox_head import Shared2FCBBoxHead, ConvFCBBoxHead, Shared4Conv1FCBBoxHead
+from .fcn_mask_head import FCNMaskHead
+from .roi_head import StandardRoIHead
+from .detectors import TwoStageDetector, MaskRCNN, FasterRCNN
+
+
+def _cfg(d: Optional[dict]) -> dict:
+    return dict(d) if d else {}
+
+
+def build_backbone(cfg: dict):
+    cfg = _cfg(cfg)
+    t = cfg.pop('type')
+    if t == 'ResNet':
+        cfg.pop('norm_cfg', None)  # BN is the only norm wired in
+        cfg.pop('dcn', None)
+        cfg.pop('stage_with_dcn', None)
+        cfg.pop('plugins', None)
+        cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
+        return ResNet(**cfg)
+    if t == 'ResNetV1d':
+        cfg.pop('norm_cfg', None)
+        cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
+        return ResNet(deep_stem=True, avg_down=True, **cfg)
+    if t == 'ResNeXt':
+        cfg.pop('norm_cfg', None)
+        cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
+        return ResNet(**cfg)
+    raise KeyError(f'unsupported backbone {t}')
+
+
+def build_neck(cfg: dict):
+    cfg = _cfg(cfg)
+    t = cfg.pop('type')
+    cls = {'FPN': FPN, 'PAFPN': PAFPN}.get(t)
+    if cls is None:
+        raise KeyError(f'unsupported neck {t}')
+    cfg['in_channels'] = tuple(cfg['in_channels'])
+    cfg.pop('norm_cfg', None)
+    return cls(**cfg)
+
+
+def build_rpn_head(cfg: dict):
+    cfg = _cfg(cfg)
+    assert cfg.pop('type') == 'RPNHead'
+    anchor_cfg = _cfg(cfg.pop('anchor_generator', {}))
+    num_anchors = (len(anchor_cfg.get('scales', [8])) *
+                   len(anchor_cfg.get('ratios', [0.5, 1.0, 2.0])))
+    head = RPNHead(in_channels=cfg.get('in_channels', 256),
+                   feat_channels=cfg.get('feat_channels', 256),
+                   num_anchors=num_anchors)
+    return head, anchor_cfg, _cfg(cfg.get('bbox_coder')), \
+        _cfg(cfg.get('loss_cls')), _cfg(cfg.get('loss_bbox'))
+
+
+def build_bbox_head(cfg: dict):
+    cfg = _cfg(cfg)
+    t = cfg.pop('type')
+    cls = {'Shared2FCBBoxHead': Shared2FCBBoxHead,
+           'ConvFCBBoxHead': ConvFCBBoxHead,
+           'Shared4Conv1FCBBoxHead': Shared4Conv1FCBBoxHead}.get(t)
+    if cls is None:
+        raise KeyError(f'unsupported bbox head {t}')
+    coder = _cfg(cfg.pop('bbox_coder', {}))
+    loss_cls = _cfg(cfg.pop('loss_cls', {}))
+    loss_bbox = _cfg(cfg.pop('loss_bbox', {}))
+    head = cls(num_classes=cfg.get('num_classes', 80),
+               in_channels=cfg.get('in_channels', 256),
+               roi_feat_size=cfg.get('roi_feat_size', 7),
+               fc_out_channels=cfg.get('fc_out_channels', 1024),
+               reg_class_agnostic=cfg.get('reg_class_agnostic', False))
+    return head, coder, loss_cls, loss_bbox
+
+
+def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
+    cfg = _cfg(cfg)
+    t = cfg.pop('type')
+    bbox_head, coder, loss_cls, loss_bbox = build_bbox_head(cfg['bbox_head'])
+    bbox_extractor = _cfg(cfg.get('bbox_roi_extractor'))
+    mask_extractor = _cfg(cfg.get('mask_roi_extractor'))
+    rcnn_train = _cfg(train_cfg.get('rcnn')) if train_cfg else {}
+    rcnn_test = _cfg(test_cfg.get('rcnn')) if test_cfg else {}
+    assigner = _cfg(rcnn_train.get('assigner'))
+    sampler = _cfg(rcnn_train.get('sampler'))
+
+    common = dict(
+        bbox_head=bbox_head,
+        num_classes=cfg['bbox_head'].get('num_classes', 80),
+        featmap_strides=tuple(bbox_extractor.get('featmap_strides',
+                                                 (4, 8, 16, 32))),
+        bbox_roi_out=_cfg(bbox_extractor.get('roi_layer')).get('output_size', 7),
+        mask_roi_out=_cfg(mask_extractor.get('roi_layer')).get('output_size', 14),
+        num_samples=sampler.get('num', 512),
+        pos_fraction=sampler.get('pos_fraction', 0.25),
+        max_pos=int(sampler.get('num', 512) * sampler.get('pos_fraction', 0.25)),
+        add_gt_as_proposals=sampler.get('add_gt_as_proposals', True),
+        pos_iou_thr=assigner.get('pos_iou_thr', 0.5),
+        neg_iou_thr=assigner.get('neg_iou_thr', 0.5),
+        min_pos_iou=assigner.get('min_pos_iou', 0.5),
+        match_low_quality=assigner.get('match_low_quality', True),
+        target_means=tuple(coder.get('target_means', (0., 0., 0., 0.))),
+        target_stds=tuple(coder.get('target_stds', (0.1, 0.1, 0.2, 0.2))),
+        loss_cls_weight=loss_cls.get('loss_weight', 1.0),
+        loss_bbox_weight=loss_bbox.get('loss_weight', 1.0),
+        score_thr=rcnn_test.get('score_thr', 0.05),
+        nms_iou_thr=_cfg(rcnn_test.get('nms')).get('iou_threshold', 0.5),
+        max_per_img=rcnn_test.get('max_per_img', 100),
+    )
+
+    if t == 'StandardRoIHead':
+        mask_head = None
+        if cfg.get('mask_head'):
+            mhc = _cfg(cfg['mask_head'])
+            mt = mhc.pop('type')
+            assert mt == 'FCNMaskHead', mt
+            mask_head = FCNMaskHead(
+                num_convs=mhc.get('num_convs', 4),
+                in_channels=mhc.get('in_channels', 256),
+                conv_out_channels=mhc.get('conv_out_channels', 256),
+                num_classes=mhc.get('num_classes', 80),
+                class_agnostic=mhc.get('class_agnostic', False))
+            common['loss_mask_weight'] = _cfg(
+                mhc.get('loss_mask')).get('loss_weight', 1.0)
+        return StandardRoIHead(mask_head=mask_head, **common)
+    if t == 'DynaMaskRoIHead':
+        from .dynamask_roi_head import build_dynamask_roi_head
+        return build_dynamask_roi_head(cfg, rcnn_train, rcnn_test, common)
+    raise KeyError(f'unsupported roi head {t}')
+
+
+def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
+                   test_cfg: Optional[dict] = None):
+    """Build a detector module from a reference-schema config."""
+    cfg = _cfg(model_cfg)
+    t = cfg.pop('type')
+    cfg.pop('pretrained', None)
+    det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
+               'TwoStageDetector': TwoStageDetector}.get(t)
+    if det_cls is None:
+        raise KeyError(f'unsupported detector {t}')
+
+    backbone = build_backbone(cfg['backbone'])
+    neck = build_neck(cfg['neck'])
+    rpn_head, anchor_cfg, rpn_coder, rpn_loss_cls, rpn_loss_bbox = \
+        build_rpn_head(cfg['rpn_head'])
+    roi_head = build_roi_head(cfg['roi_head'], _cfg(train_cfg), _cfg(test_cfg))
+
+    rpn_train = _cfg(_cfg(train_cfg).get('rpn'))
+    rpn_proposal = _cfg(_cfg(train_cfg).get('rpn_proposal'))
+    rpn_test = _cfg(_cfg(test_cfg).get('rpn'))
+    rpn_assigner = _cfg(rpn_train.get('assigner'))
+    rpn_sampler = _cfg(rpn_train.get('sampler'))
+
+    return det_cls(
+        backbone=backbone, neck=neck, rpn_head=rpn_head, roi_head=roi_head,
+        anchor_scales=tuple(anchor_cfg.get('scales', (8,))),
+        anchor_ratios=tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0))),
+        anchor_strides=tuple(anchor_cfg.get('strides', (4, 8, 16, 32, 64))),
+        rpn_target_means=tuple(rpn_coder.get('target_means', (0., 0., 0., 0.))),
+        rpn_target_stds=tuple(rpn_coder.get('target_stds', (1., 1., 1., 1.))),
+        rpn_pos_iou_thr=rpn_assigner.get('pos_iou_thr', 0.7),
+        rpn_neg_iou_thr=rpn_assigner.get('neg_iou_thr', 0.3),
+        rpn_min_pos_iou=rpn_assigner.get('min_pos_iou', 0.3),
+        rpn_num_samples=rpn_sampler.get('num', 256),
+        rpn_pos_fraction=rpn_sampler.get('pos_fraction', 0.5),
+        rpn_nms_pre_train=rpn_proposal.get('nms_pre', 2000),
+        rpn_nms_pre_test=rpn_test.get('nms_pre', 1000),
+        rpn_max_num=rpn_proposal.get('max_num', 1000),
+        rpn_nms_thr=rpn_proposal.get('nms_thr', 0.7),
+        rpn_cls_weight=rpn_loss_cls.get('loss_weight', 1.0),
+        rpn_bbox_weight=rpn_loss_bbox.get('loss_weight', 1.0),
+    )

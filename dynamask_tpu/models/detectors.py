@@ -1,0 +1,158 @@
+"""Two-stage detectors (MaskRCNN / FasterRCNN family).
+
+Rebuild of the reference detector layer (reference: mmdet/models/detectors/
+base.py:15-343, two_stage.py:10-211, mask_rcnn.py). The torch
+``forward(return_loss=...)`` dispatch becomes explicit jit-compiled methods:
+``forward_train`` (losses) and ``simple_test`` (padded detections); both are
+pure functions of (variables, batch, rng) via ``Module.apply``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.registry import DETECTORS
+from ..core.anchors import AnchorGenerator
+from ..core.assigners import MaxIoUAssigner
+from ..core.samplers import RandomSampler
+from .rpn_head import RPNHead, rpn_loss, rpn_get_proposals, Proposals
+
+
+@DETECTORS.register_module()
+class TwoStageDetector(nn.Module):
+    """backbone -> neck -> RPN -> RoI head."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_head: nn.Module
+    roi_head: nn.Module
+
+    # anchor generator (rpn_head.anchor_generator in the config)
+    anchor_scales: Tuple[float, ...] = (8,)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    # rpn bbox coder
+    rpn_target_means: Tuple[float, ...] = (0., 0., 0., 0.)
+    rpn_target_stds: Tuple[float, ...] = (1., 1., 1., 1.)
+    # train_cfg.rpn
+    rpn_pos_iou_thr: float = 0.7
+    rpn_neg_iou_thr: float = 0.3
+    rpn_min_pos_iou: float = 0.3
+    rpn_num_samples: int = 256
+    rpn_pos_fraction: float = 0.5
+    # train_cfg.rpn_proposal / test_cfg.rpn
+    rpn_nms_pre_train: int = 2000
+    rpn_nms_pre_test: int = 1000
+    rpn_max_num: int = 1000
+    rpn_nms_thr: float = 0.7
+    # loss weights (rpn_head.loss_cls/loss_bbox)
+    rpn_cls_weight: float = 1.0
+    rpn_bbox_weight: float = 1.0
+
+    def _anchor_generator(self) -> AnchorGenerator:
+        return AnchorGenerator(strides=self.anchor_strides,
+                               ratios=self.anchor_ratios,
+                               scales=self.anchor_scales)
+
+    def extract_feat(self, images: jnp.ndarray, train: bool = False):
+        return self.neck(self.backbone(images, train=train), train=train)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """Default apply: a cheap parameter-touching pass used for ``init``.
+
+        It runs every parameterized submodule once (backbone, neck, RPN,
+        RoI heads) on tiny dummy RoIs but skips NMS/assignment — identical
+        parameter tree to the real paths at a fraction of the trace cost.
+        """
+        feats = self.extract_feat(batch['image'], train=train)
+        cls_scores, bbox_preds = self.rpn_head(feats, train=train)
+        dummy = self.roi_head.init_dummy(feats, train=train)
+        return cls_scores, bbox_preds, dummy
+
+    # ----------------------------------------------------------------- train
+
+    def forward_train(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        images = batch['image']
+        feats = self.extract_feat(images, train=True)
+        cls_scores, bbox_preds = self.rpn_head(feats, train=True)
+
+        gen = self._anchor_generator()
+        featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        anchors = jnp.concatenate(mlvl_anchors, axis=0)
+        anchor_valid = jnp.ones(anchors.shape[0], bool)
+
+        losses = rpn_loss(
+            cls_scores, bbox_preds, anchors, anchor_valid,
+            batch['gt_boxes'], batch['gt_valid'],
+            self.make_rng('sampling'),
+            MaxIoUAssigner(pos_iou_thr=self.rpn_pos_iou_thr,
+                           neg_iou_thr=self.rpn_neg_iou_thr,
+                           min_pos_iou=self.rpn_min_pos_iou,
+                           match_low_quality=True),
+            RandomSampler(num=self.rpn_num_samples,
+                          pos_fraction=self.rpn_pos_fraction,
+                          add_gt_as_proposals=False),
+            self.rpn_target_means, self.rpn_target_stds,
+            self.rpn_cls_weight, self.rpn_bbox_weight)
+
+        proposals = rpn_get_proposals(
+            [jax.lax.stop_gradient(c) for c in cls_scores],
+            [jax.lax.stop_gradient(p) for p in bbox_preds],
+            mlvl_anchors, batch['img_shape'],
+            nms_pre=self.rpn_nms_pre_train, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr,
+            target_means=self.rpn_target_means,
+            target_stds=self.rpn_target_stds)
+
+        losses.update(self.roi_head.forward_train(
+            feats, proposals.boxes, proposals.valid, batch, train=True))
+        return losses
+
+    # ------------------------------------------------------------------ test
+
+    def simple_test(self, batch: Dict[str, jnp.ndarray],
+                    rescale: bool = True) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(batch['image'], train=False)
+        cls_scores, bbox_preds = self.rpn_head(feats, train=False)
+        gen = self._anchor_generator()
+        featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        proposals = rpn_get_proposals(
+            cls_scores, bbox_preds, mlvl_anchors, batch['img_shape'],
+            nms_pre=self.rpn_nms_pre_test, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr,
+            target_means=self.rpn_target_means,
+            target_stds=self.rpn_target_stds)
+        return self.roi_head.simple_test(
+            feats, proposals.boxes, proposals.valid, batch, rescale=rescale)
+
+    def forward_dummy(self, images: jnp.ndarray):
+        """FLOPs-counting path (reference two_stage.py:87-103)."""
+        feats = self.extract_feat(images, train=False)
+        return self.rpn_head(feats, train=False)
+
+
+@DETECTORS.register_module()
+class MaskRCNN(TwoStageDetector):
+    """Thin alias (reference detectors/mask_rcnn.py)."""
+    pass
+
+
+@DETECTORS.register_module()
+class FasterRCNN(TwoStageDetector):
+    """Two-stage without mask branch (reference detectors/faster_rcnn.py)."""
+    pass
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]):
+    """total = sum of every value whose key contains 'loss'
+    (reference base.py:_parse_losses)."""
+    total = sum(v for k, v in losses.items() if 'loss' in k)
+    log = dict(losses)
+    log['loss'] = total
+    return total, log

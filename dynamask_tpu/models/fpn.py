@@ -1,0 +1,117 @@
+"""Feature Pyramid Network neck (flax.linen, NHWC).
+
+Rebuild of the reference FPN (reference: mmdet/models/necks/fpn.py:10-216):
+1×1 laterals, nearest-upsample top-down adds, 3×3 output convs, extra levels
+via stride-2 maxpool (default) or extra convs on input/output.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.registry import NECKS
+from .layers import max_pool, resize_nearest_2x
+
+_xavier_uniform = nn.initializers.variance_scaling(1.0, 'fan_avg', 'uniform')
+
+
+@NECKS.register_module()
+class FPN(nn.Module):
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    end_level: int = -1
+    add_extra_convs: Union[bool, str] = False
+    extra_convs_on_inputs: bool = True
+    relu_before_extra_convs: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        assert len(inputs) == len(self.in_channels)
+        end = len(self.in_channels) if self.end_level == -1 else self.end_level
+        used = list(inputs[self.start_level:end])
+        num_laterals = len(used)
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), kernel_init=_xavier_uniform,
+                    name=f'lateral_{i}')(used[i])
+            for i in range(num_laterals)
+        ]
+        # top-down pathway (nearest upsample; fpn.py:152-156)
+        for i in range(num_laterals - 1, 0, -1):
+            up = resize_nearest_2x(laterals[i])
+            # guard odd sizes: crop to lateral extent
+            up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2], :]
+            laterals[i - 1] = laterals[i - 1] + up
+
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_xavier_uniform, name=f'fpn_conv_{i}')(laterals[i])
+            for i in range(num_laterals)
+        ]
+
+        # extra levels (fpn.py:160-176)
+        if self.num_outs > len(outs):
+            extra = self.num_outs - len(outs)
+            if not self.add_extra_convs:
+                for _ in range(extra):
+                    outs.append(max_pool(outs[-1], 1, 2))
+            else:
+                src = (used[-1] if (self.add_extra_convs == 'on_input'
+                                    or self.extra_convs_on_inputs is True
+                                    and self.add_extra_convs is True)
+                       else outs[-1])
+                for i in range(extra):
+                    x = nn.relu(src) if (i > 0 and self.relu_before_extra_convs) else src
+                    src = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                  padding=[(1, 1), (1, 1)],
+                                  kernel_init=_xavier_uniform,
+                                  name=f'extra_conv_{i}')(x)
+                    outs.append(src)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class PAFPN(FPN):
+    """PAFPN = FPN + bottom-up path augmentation
+    (reference: mmdet/models/necks/pafpn.py)."""
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        end = len(self.in_channels) if self.end_level == -1 else self.end_level
+        used = list(inputs[self.start_level:end])
+        num_laterals = len(used)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), kernel_init=_xavier_uniform,
+                    name=f'lateral_{i}')(used[i])
+            for i in range(num_laterals)
+        ]
+        for i in range(num_laterals - 1, 0, -1):
+            up = resize_nearest_2x(laterals[i])
+            up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2], :]
+            laterals[i - 1] = laterals[i - 1] + up
+        inter = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_xavier_uniform, name=f'fpn_conv_{i}')(laterals[i])
+            for i in range(num_laterals)
+        ]
+        # bottom-up augmentation
+        for i in range(num_laterals - 1):
+            down = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)], kernel_init=_xavier_uniform,
+                           name=f'downsample_conv_{i}')(inter[i])
+            inter[i + 1] = inter[i + 1] + down[:, :inter[i + 1].shape[1],
+                                               :inter[i + 1].shape[2], :]
+        outs = [inter[0]] + [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_xavier_uniform, name=f'pafpn_conv_{i}')(inter[i])
+            for i in range(1, num_laterals)
+        ]
+        if self.num_outs > len(outs):
+            for _ in range(self.num_outs - len(outs)):
+                outs.append(max_pool(outs[-1], 1, 2))
+        return tuple(outs)

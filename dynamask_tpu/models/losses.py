@@ -1,0 +1,227 @@
+"""Loss functions (pure JAX).
+
+Rebuild of the reference loss toolbox (reference: mmdet/models/losses/) in
+weighted-masked form: every loss takes dense padded inputs plus elementwise
+weights and an ``avg_factor`` — the static-shape counterpart of the
+reference's ``weight_reduce_loss`` convention (losses/utils.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import LOSSES
+
+
+def weight_reduce_loss(loss: jnp.ndarray,
+                       weight: Optional[jnp.ndarray] = None,
+                       avg_factor: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """sum(loss * weight) / avg_factor (mean over weights when avg_factor is
+    None) — reference: losses/utils.py:weight_reduce_loss."""
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if weight is None:
+            return jnp.mean(loss)
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(weight), 1.0)
+    return jnp.sum(loss) / jnp.maximum(avg_factor, 1.0)
+
+
+def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                          weight=None, avg_factor=None) -> jnp.ndarray:
+    """CE over (N, C) logits and int labels (reference cross_entropy)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(labels >= 0, nll, 0.0)
+    return weight_reduce_loss(nll, weight, avg_factor)
+
+
+def binary_cross_entropy_with_logits(logits: jnp.ndarray,
+                                     targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise numerically-stable BCE-with-logits."""
+    return jnp.maximum(logits, 0) - logits * targets + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def binary_cross_entropy(logits, targets, weight=None, avg_factor=None):
+    loss = binary_cross_entropy_with_logits(logits, targets)
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def mask_bce_eps(pred_logits: jnp.ndarray, target: jnp.ndarray,
+                 class_weight: jnp.ndarray) -> jnp.ndarray:
+    """The reference's ``mask_cross_entropy`` variant used by the detail loss
+    (cross_entropy_loss.py:90-120): BCE computed on sigmoid probabilities with
+    an explicit eps=1e-10, MEAN over ALL elements after multiplying by a
+    per-sample class weight."""
+    x = jax.nn.sigmoid(pred_logits)
+    eps = 1e-10
+    # log(max(·, eps)): f32-identical to the reference's log(· + eps) but
+    # immune to XLA reassociating the eps away (log(0) = -inf under fusion)
+    ll = target * jnp.log(jnp.maximum(x, eps)) + \
+        (1.0 - target) * jnp.log(jnp.maximum(1.0 - x, eps))
+    return -jnp.mean(ll * class_weight)
+
+
+def l1_loss(pred, target, weight=None, avg_factor=None):
+    loss = jnp.abs(pred - target)
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0, weight=None,
+                   avg_factor=None):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def sigmoid_focal_loss(logits, targets_onehot, gamma: float = 2.0,
+                       alpha: float = 0.25, weight=None, avg_factor=None):
+    """Focal loss in stable logits form — the TPU replacement of the
+    reference's CUDA kernel (losses/focal_loss.py)."""
+    p = jax.nn.sigmoid(logits)
+    ce = binary_cross_entropy_with_logits(logits, targets_onehot)
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    alpha_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+    loss = alpha_t * ((1 - p_t) ** gamma) * ce
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def iou_loss(pred, target, mode: str = 'giou', eps: float = 1e-7,
+             weight=None, avg_factor=None):
+    """IoU-family regression loss over (..., 4) boxes (reference iou_loss.py)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    ap = jnp.clip(pred[..., 2] - pred[..., 0], 0) * \
+        jnp.clip(pred[..., 3] - pred[..., 1], 0)
+    at = jnp.clip(target[..., 2] - target[..., 0], 0) * \
+        jnp.clip(target[..., 3] - target[..., 1], 0)
+    union = ap + at - inter + eps
+    iou = inter / union
+    if mode == 'iou':
+        loss = 1 - iou
+    elif mode == 'linear_iou':
+        loss = 1 - iou
+    elif mode == 'log_iou':
+        loss = -jnp.log(jnp.clip(iou, eps))
+    elif mode == 'giou':
+        e_lt = jnp.minimum(pred[..., :2], target[..., :2])
+        e_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+        e_wh = jnp.clip(e_rb - e_lt, 0)
+        enclose = e_wh[..., 0] * e_wh[..., 1] + eps
+        loss = 1 - (iou - (enclose - union) / enclose)
+    else:
+        raise ValueError(mode)
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def dice_loss(pred_sigmoid, target, smooth: float = 1.0):
+    """Reference dice_loss_func (cross_entropy_loss.py:352-361)."""
+    n = pred_sigmoid.shape[0]
+    p = pred_sigmoid.reshape(n, -1)
+    t = target.reshape(n, -1)
+    inter = jnp.sum(p * t, axis=1)
+    loss = 1 - (2 * inter + smooth) / (jnp.sum(p, 1) + jnp.sum(t, 1) + smooth)
+    return jnp.mean(loss)
+
+
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+             valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Top-1 accuracy over valid entries (reference losses/accuracy.py)."""
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels).astype(jnp.float32)
+    if valid is not None:
+        return jnp.sum(correct * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(correct)
+
+
+# Registered config-facing wrappers -----------------------------------------
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Config-compatible CE wrapper (reference cross_entropy_loss.py:157-227)."""
+
+    def __init__(self, use_sigmoid=False, use_mask=False, reduction='mean',
+                 class_weight=None, loss_weight=1.0):
+        self.use_sigmoid = use_sigmoid
+        self.use_mask = use_mask
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        if self.use_sigmoid or self.use_mask:
+            return self.loss_weight * binary_cross_entropy(
+                pred, target, weight, avg_factor)
+        return self.loss_weight * softmax_cross_entropy(
+            pred, target, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, loss_weight=1.0):
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * l1_loss(pred, target, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta=1.0, loss_weight=1.0):
+        self.beta = beta
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * smooth_l1_loss(pred, target, self.beta,
+                                                 weight, avg_factor)
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25, loss_weight=1.0):
+        assert use_sigmoid
+        self.gamma = gamma
+        self.alpha = alpha
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target_onehot, weight=None, avg_factor=None):
+        return self.loss_weight * sigmoid_focal_loss(
+            pred, target_onehot, self.gamma, self.alpha, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class GIoULoss:
+    def __init__(self, eps=1e-7, loss_weight=1.0):
+        self.eps = eps
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * iou_loss(pred, target, 'giou', self.eps,
+                                           weight, avg_factor)
+
+
+@LOSSES.register_module()
+class IoULoss:
+    def __init__(self, eps=1e-6, loss_weight=1.0, mode='log_iou'):
+        self.eps = eps
+        self.loss_weight = loss_weight
+        self.mode = mode
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * iou_loss(pred, target, self.mode, self.eps,
+                                           weight, avg_factor)
+
+
+@LOSSES.register_module()
+class MSELoss:
+    def __init__(self, loss_weight=1.0):
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * weight_reduce_loss(
+            (pred - target) ** 2, weight, avg_factor)

@@ -1,0 +1,173 @@
+"""RPN head: per-level conv tower + static-shape anchor training/proposals.
+
+Rebuild of the reference RPN (reference: mmdet/models/dense_heads/
+rpn_head.py:13-172 + the AnchorHead target machinery anchor_head.py:14-498).
+TPU redesign highlights:
+
+  * anchor targets are computed over the CONCATENATED per-level anchor set in
+    one dense assign/sample per image (vmapped over the batch) instead of the
+    reference's per-level python loops + ``unmap``;
+  * proposal generation keeps static shapes end to end: per-level top-k,
+    joint level-aware NMS, fixed ``max_num`` proposal slots with validity.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.registry import HEADS
+from ..core.anchors import AnchorGenerator
+from ..core.assigners import MaxIoUAssigner
+from ..core.samplers import RandomSampler
+from ..core.bbox_transforms import bbox2delta, delta2bbox, clip_boxes
+from ..ops.nms import batched_nms
+from .layers import normal_init
+from .losses import binary_cross_entropy_with_logits, l1_loss
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray   # (B, max_num, 4)
+    scores: jnp.ndarray  # (B, max_num)
+    valid: jnp.ndarray   # (B, max_num) bool
+
+
+@HEADS.register_module()
+class RPNHead(nn.Module):
+    """3×3 shared conv + 1×1 cls/reg (reference rpn_head.py:26-45).
+
+    ``num_anchors`` per location comes from the anchor generator config.
+    """
+
+    in_channels: int = 256
+    feat_channels: int = 256
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       kernel_init=normal_init(0.01), name='rpn_conv')
+        cls = nn.Conv(self.num_anchors, (1, 1),
+                      kernel_init=normal_init(0.01), name='rpn_cls')
+        reg = nn.Conv(self.num_anchors * 4, (1, 1),
+                      kernel_init=normal_init(0.01), name='rpn_reg')
+        cls_scores, bbox_preds = [], []
+        for x in feats:
+            t = nn.relu(conv(x))
+            cls_scores.append(cls(t))
+            bbox_preds.append(reg(t))
+        return cls_scores, bbox_preds
+
+
+def _flatten_levels(cls_scores, bbox_preds):
+    """Per-level NHW(A)/NHW(4A) maps -> (B, K, 1) and (B, K, 4), where K is
+    the total anchor count, location-major within each level (matching the
+    grid_anchors layout)."""
+    b = cls_scores[0].shape[0]
+    flat_cls, flat_reg = [], []
+    for cs, bp in zip(cls_scores, bbox_preds):
+        a = cs.shape[-1]
+        flat_cls.append(cs.reshape(b, -1))                       # (B, H*W*A)
+        flat_reg.append(bp.reshape(b, -1, a, 4).reshape(b, -1, 4))
+    return jnp.concatenate(flat_cls, 1), jnp.concatenate(flat_reg, 1)
+
+
+def rpn_loss(cls_scores: List[jnp.ndarray],
+             bbox_preds: List[jnp.ndarray],
+             anchors: jnp.ndarray,
+             anchor_valid: jnp.ndarray,
+             gt_boxes: jnp.ndarray,
+             gt_valid: jnp.ndarray,
+             rng: jax.Array,
+             assigner: MaxIoUAssigner,
+             sampler: RandomSampler,
+             target_means=(0., 0., 0., 0.),
+             target_stds=(1., 1., 1., 1.),
+             loss_cls_weight: float = 1.0,
+             loss_bbox_weight: float = 1.0):
+    """RPN losses with the reference's normalization: per-element losses over
+    sampled anchors, divided by the batch-total sampled count
+    (anchor_head.py:loss:430-498 with sampling=True)."""
+    flat_cls, flat_reg = _flatten_levels(cls_scores, bbox_preds)
+    b = flat_cls.shape[0]
+
+    def single(cls_s, reg_s, gts, gtv, key):
+        assign = assigner(anchors, anchor_valid, gts, gtv, None)
+        sample = sampler(key, assign, anchors, gts)
+        # scatter sampled slots back onto the dense anchor axis
+        w = jnp.zeros(anchors.shape[0])
+        w = w.at[sample.inds].add(sample.valid.astype(jnp.float32))
+        cls_target = jnp.zeros(anchors.shape[0])
+        cls_target = cls_target.at[sample.inds].add(
+            (sample.is_pos & sample.valid).astype(jnp.float32))
+        pos_w = jnp.zeros(anchors.shape[0])
+        pos_w = pos_w.at[sample.inds].add(
+            (sample.is_pos & sample.valid).astype(jnp.float32))
+        # reg targets on pos anchors
+        tgt = jnp.zeros_like(anchors)
+        deltas = bbox2delta(sample.boxes, sample.target_boxes,
+                            target_means, target_stds)
+        tgt = tgt.at[sample.inds].add(
+            deltas * (sample.is_pos & sample.valid)[:, None])
+
+        cls_l = binary_cross_entropy_with_logits(cls_s, cls_target) * w
+        reg_l = jnp.abs(reg_s - tgt) * pos_w[:, None]
+        num_sampled = jnp.sum(w)
+        return jnp.sum(cls_l), jnp.sum(reg_l), num_sampled
+
+    keys = jax.random.split(rng, b)
+    cls_sums, reg_sums, counts = jax.vmap(single)(
+        flat_cls, flat_reg, gt_boxes, gt_valid, keys)
+    avg = jnp.maximum(jnp.sum(counts), 1.0)
+    return {
+        'loss_rpn_cls': loss_cls_weight * jnp.sum(cls_sums) / avg,
+        'loss_rpn_bbox': loss_bbox_weight * jnp.sum(reg_sums) / avg,
+    }
+
+
+def rpn_get_proposals(cls_scores: List[jnp.ndarray],
+                      bbox_preds: List[jnp.ndarray],
+                      mlvl_anchors: List[jnp.ndarray],
+                      img_shapes: jnp.ndarray,
+                      nms_pre: int = 2000,
+                      max_num: int = 1000,
+                      nms_thr: float = 0.7,
+                      target_means=(0., 0., 0., 0.),
+                      target_stds=(1., 1., 1., 1.),
+                      pre_top_k: int = 4096) -> Proposals:
+    """Static-shape proposal generation (reference rpn_head.py:79-172):
+    per-level sigmoid scores -> top ``nms_pre`` -> decode+clip -> joint
+    level-aware NMS -> ``max_num`` slots."""
+    b = cls_scores[0].shape[0]
+
+    lvl_boxes, lvl_scores, lvl_ids = [], [], []
+    for lvl, (cs, bp, anc) in enumerate(zip(cls_scores, bbox_preds,
+                                            mlvl_anchors)):
+        a = cs.shape[-1]
+        scores = jax.nn.sigmoid(cs.reshape(b, -1))          # (B, K_l)
+        deltas = bp.reshape(b, -1, a, 4).reshape(b, -1, 4)  # (B, K_l, 4)
+        k = min(nms_pre, scores.shape[1])
+        top_s, top_i = jax.lax.top_k(scores, k)
+        top_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
+        top_a = anc[top_i]                                   # (B, k, 4)
+        boxes = delta2bbox(top_a, top_d, target_means, target_stds)
+        boxes = jax.vmap(clip_boxes)(boxes, img_shapes)
+        lvl_boxes.append(boxes)
+        lvl_scores.append(top_s)
+        lvl_ids.append(jnp.full((b, k), lvl, jnp.int32))
+
+    all_boxes = jnp.concatenate(lvl_boxes, 1)
+    all_scores = jnp.concatenate(lvl_scores, 1)
+    all_ids = jnp.concatenate(lvl_ids, 1)
+
+    def single(boxes, scores, ids):
+        valid = scores > 0
+        out_boxes, out_scores, _, out_valid = batched_nms(
+            boxes, scores, ids, valid, nms_thr, max_num, pre_top_k)
+        return out_boxes, out_scores, out_valid
+
+    pb, ps, pv = jax.vmap(single)(all_boxes, all_scores, all_ids)
+    return Proposals(pb, ps, pv)

@@ -125,6 +125,9 @@ def roi_align(features: jnp.ndarray,
     Returns:
         (N, P, P, C) pooled features.
     """
+    # RoI coordinates are not differentiated-through (the reference CUDA op
+    # returns no roi gradient); also avoids 0·inf NaNs for zero-area padding.
+    rois = jax.lax.stop_gradient(rois)
     b, h, w, c = features.shape
     n = rois.shape[0]
     s = sampling_ratio
@@ -177,6 +180,7 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray],
     Returns:
         (N, P, P, C).
     """
+    rois = jax.lax.stop_gradient(rois)  # no roi-coordinate gradients
     num_levels = len(features)
     assert num_levels == len(featmap_strides)
     b = features[0].shape[0]
