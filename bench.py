@@ -1,0 +1,83 @@
+"""Benchmark: dynamask_r50_fpn COCO-scale inference throughput on one chip.
+
+Protocol mirrors the reference's tools/benchmark.py (docs/model_zoo.md:12-14):
+steady-state fps over repeated forwards, network forward + post-processing
+only (NMS, cascade, boundary fusion, class selection — everything up to
+per-RoI mask probabilities), excluding data loading; bs=1 at the standard
+(1333, 800) COCO test scale (padded canvas 800×1344).
+
+Baseline anchor: Mask R-CNN R-50-FPN 1x at 16.1 fps on 1×V100
+(configs/mask_rcnn/README.md:20) — the closest published in-tree number
+(the repo publishes no DynaMask-specific fps; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 16.1  # Mask R-CNN R50-FPN 1x, 1xV100 (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _build_flagship, _demo_batch, _zeros_like_tree
+
+    det, _ = _build_flagship()
+    h, w = 800, 1344
+    batch = _demo_batch(jnp, 1, h, w, with_gt=False)
+
+    shapes = jax.eval_shape(
+        lambda: det.init({'params': jax.random.PRNGKey(0)},
+                         _demo_batch(jnp, 1, h, w)))
+    rng = jax.random.PRNGKey(0)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(rng, len(leaves))
+    variables = jax.tree_util.tree_unflatten(treedef, [
+        (jax.random.normal(k, x.shape, x.dtype) * 0.05
+         if jnp.issubdtype(x.dtype, jnp.floating)
+         else jnp.zeros(x.shape, x.dtype))
+        for k, x in zip(keys, leaves)])
+
+    @jax.jit
+    def fwd(v, b):
+        out = det.apply(v, b, method='simple_test')
+        return out['dets'], out['labels'], out['det_valid'], out['mask_probs']
+
+    # compile + warmup (first iters excluded per the reference protocol)
+    t0 = time.time()
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    for _ in range(4):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get('BENCH_ITERS', '30'))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        'metric': 'dynamask_r50_fpn COCO 800x1344 inference img/s/chip',
+        'value': round(fps, 3),
+        'unit': 'img/s',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+    print(f'# compile={compile_s:.1f}s iters={iters} '
+          f'device={jax.devices()[0].platform}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
