@@ -1,0 +1,9 @@
+from .train import train_detector, set_random_seed, get_root_logger
+from .test import single_device_test, make_test_fn
+from .inference import init_detector, inference_detector, show_result
+
+__all__ = [
+    'train_detector', 'set_random_seed', 'get_root_logger',
+    'single_device_test', 'make_test_fn',
+    'init_detector', 'inference_detector', 'show_result',
+]

@@ -1,0 +1,89 @@
+"""Evaluation / test-loop entrypoint.
+
+Rebuild of the reference test path (reference: mmdet/apis/test.py:15-114
+single_gpu_test/multi_gpu_test + the RoI head's get_seg_masks paste). Device
+work (forward, NMS, cascade, mask pasting onto a static canvas) runs in one
+jit per canvas shape; only RLE encoding and COCO accumulation stay host-side
+(SURVEY.md §7 'CPU↔TPU boundary for eval')."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.paste import paste_masks
+
+
+def make_test_fn(det, variables, mask_canvas: Tuple[int, int],
+                 mask_thr: float = 0.5):
+    """Build the jitted full test step: simple_test + device-side pasting.
+
+    Returns fn(batch) -> dict of padded per-image results. Masks come back
+    as a boolean (B, D, canvas_h, canvas_w) tensor thresholded on device.
+    """
+    ch, cw = mask_canvas
+
+    @jax.jit
+    def fn(batch):
+        out = det.apply(variables, batch, method='simple_test')
+        b, d = out['dets'].shape[:2]
+        probs = out['mask_probs']
+        boxes = out['dets'][..., :4].reshape(b * d, 4)
+        pasted = paste_masks(probs.reshape(b * d, *probs.shape[2:]),
+                             boxes, ch, cw)
+        masks = (pasted >= mask_thr).reshape(b, d, ch, cw)
+        return {'dets': out['dets'], 'labels': out['labels'],
+                'valid': out['det_valid'], 'masks': masks}
+
+    return fn
+
+
+def single_device_test(det, variables, dataset, samples_per_gpu: int = 1,
+                       mask_canvas: Tuple[int, int] = (640, 640),
+                       mask_thr: float = 0.5,
+                       max_images: Optional[int] = None,
+                       progress: bool = True) -> List[Dict]:
+    """Run the test loop, returning per-image result dicts for
+    ``dataset.evaluate`` (reference single_gpu_test)."""
+    from ..data import build_dataloader
+    loader = build_dataloader(dataset, samples_per_gpu=samples_per_gpu,
+                              workers_per_gpu=4, shuffle=False,
+                              drop_last=False)
+    fn = make_test_fn(det, variables, mask_canvas, mask_thr)
+
+    results = []
+    n_done = 0
+    t0 = time.time()
+    for batch_np in loader:
+        img_ids = batch_np.pop('img_id')
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        out = jax.device_get(fn(batch))
+        b = out['dets'].shape[0]
+        for i in range(b):
+            if max_images is not None and n_done >= max_images:
+                break
+            ori_h, ori_w = batch_np['ori_shape'][i].astype(int)
+            valid = out['valid'][i].astype(bool)
+            masks = [out['masks'][i, d, :ori_h, :ori_w]
+                     for d in range(out['masks'].shape[1])]
+            results.append({
+                'img_id': int(img_ids[i]),
+                'dets': out['dets'][i],
+                'labels': out['labels'][i],
+                'valid': valid,
+                'masks': masks,
+            })
+            n_done += 1
+        if progress and n_done % 50 == 0:
+            fps = n_done / max(time.time() - t0, 1e-6)
+            print(f'\r{n_done} imgs, {fps:.1f} img/s', end='', flush=True)
+        if max_images is not None and n_done >= max_images:
+            break
+    if progress:
+        print()
+    return results

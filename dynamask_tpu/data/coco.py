@@ -210,13 +210,16 @@ class CocoDataset:
                     continue
                 gt_anns.append(ann)
 
+        img_sizes = {info['id']: (info['height'], info['width'])
+                     for info in self.img_infos}
         out = {}
         if 'bbox' in metric:
             ev = CocoEvaluator(gt_anns, img_ids, self.cat_ids, 'bbox')
             for k, v in ev.evaluate(det_json).items():
                 out[f'bbox_{k}'] = v
         if 'segm' in metric:
-            ev = CocoEvaluator(gt_anns, img_ids, self.cat_ids, 'segm')
+            ev = CocoEvaluator(gt_anns, img_ids, self.cat_ids, 'segm',
+                               img_sizes=img_sizes)
             for k, v in ev.evaluate(segm_json).items():
                 out[f'segm_{k}'] = v
         return out

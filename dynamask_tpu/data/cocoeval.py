@@ -57,11 +57,13 @@ class CocoEvaluator:
     """
 
     def __init__(self, gt_anns: List[dict], img_ids: Sequence[int],
-                 cat_ids: Sequence[int], iou_type: str = 'bbox'):
+                 cat_ids: Sequence[int], iou_type: str = 'bbox',
+                 img_sizes: Optional[Dict[int, Sequence[int]]] = None):
         assert iou_type in ('bbox', 'segm')
         self.iou_type = iou_type
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
+        self.img_sizes = img_sizes or {}
         self.gt_by_key = defaultdict(list)
         for ann in gt_anns:
             self.gt_by_key[(ann['image_id'], ann['category_id'])].append(ann)
@@ -86,7 +88,8 @@ class CocoEvaluator:
                 dets = det_by_key.get((img, cat), [])
                 if not gts and not dets:
                     continue
-                per_img.append(self._match_image(dets, gts))
+                per_img.append(self._match_image(dets, gts,
+                                                 self.img_sizes.get(img)))
             if not per_img:
                 continue
             for ai, (aname, arng) in enumerate(AREA_RNGS.items()):
@@ -99,7 +102,8 @@ class CocoEvaluator:
 
     # ---------------------------------------------------------------- match
 
-    def _match_image(self, dets: List[dict], gts: List[dict]):
+    def _match_image(self, dets: List[dict], gts: List[dict],
+                     img_size: Optional[Sequence[int]] = None):
         """Greedy IoU matching in score order at all thresholds (COCOeval
         evaluateImg)."""
         dets = sorted(dets, key=lambda d: -d['score'])[:max(MAX_DETS)]
@@ -111,9 +115,12 @@ class CocoEvaluator:
                                  ).reshape(-1, 4)
             ious = bbox_iou_xywh(d_boxes, g_boxes, iscrowd)
         else:
-            from .mask_codec import rle_iou
-            ious = rle_iou([d['segmentation'] for d in dets],
-                           [g['segmentation'] for g in gts], iscrowd)
+            from .mask_codec import segm_iou
+            assert img_size is not None, \
+                'segm eval requires img_sizes={id: (h, w)}'
+            ious = segm_iou([d['segmentation'] for d in dets],
+                            [g['segmentation'] for g in gts], iscrowd,
+                            int(img_size[0]), int(img_size[1]))
 
         g_areas = np.asarray([g.get('area', g['bbox'][2] * g['bbox'][3])
                               for g in gts], np.float64)
@@ -121,7 +128,7 @@ class CocoEvaluator:
                              np.float64)
         d_scores = np.asarray([d['score'] for d in dets], np.float64)
         g_ignore_base = np.asarray(iscrowd, bool) | \
-            np.asarray([bool(g.get('ignore', 0)) for g in gts])
+            np.asarray([bool(g.get('ignore', 0)) for g in gts], bool)
 
         return {
             'ious': ious, 'g_areas': g_areas, 'd_areas': d_areas,

@@ -137,15 +137,9 @@ def ann_to_mask(segm, h: int, w: int) -> np.ndarray:
     raise TypeError(type(segm))
 
 
-def rle_iou(dets: List[Dict], gts: List[Dict],
-            iscrowd: Sequence[bool]) -> np.ndarray:
-    """Pairwise mask IoU (pycocotools.mask.iou equivalent): for crowd gts the
-    denominator is the det area (IoF)."""
-    if not dets or not gts:
-        return np.zeros((len(dets), len(gts)))
-    d_masks = [decode_rle(d).astype(bool) for d in dets]
-    g_masks = [decode_rle(g).astype(bool) for g in gts]
-    out = np.zeros((len(dets), len(gts)))
+def _masks_pairwise_iou(d_masks: List[np.ndarray], g_masks: List[np.ndarray],
+                        iscrowd: Sequence[bool]) -> np.ndarray:
+    out = np.zeros((len(d_masks), len(g_masks)))
     for j, (gm, crowd) in enumerate(zip(g_masks, iscrowd)):
         g_area = gm.sum()
         for i, dm in enumerate(d_masks):
@@ -154,3 +148,25 @@ def rle_iou(dets: List[Dict], gts: List[Dict],
             denom = d_area if crowd else (d_area + g_area - inter)
             out[i, j] = inter / denom if denom > 0 else 0.0
     return out
+
+
+def rle_iou(dets: List[Dict], gts: List[Dict],
+            iscrowd: Sequence[bool]) -> np.ndarray:
+    """Pairwise mask IoU of RLE dicts (pycocotools.mask.iou equivalent):
+    for crowd gts the denominator is the det area (IoF)."""
+    if not dets or not gts:
+        return np.zeros((len(dets), len(gts)))
+    d_masks = [decode_rle(d).astype(bool) for d in dets]
+    g_masks = [decode_rle(g).astype(bool) for g in gts]
+    return _masks_pairwise_iou(d_masks, g_masks, iscrowd)
+
+
+def segm_iou(dets: List, gts: List, iscrowd: Sequence[bool],
+             h: int, w: int) -> np.ndarray:
+    """Pairwise mask IoU where entries may be RLE dicts OR polygon lists
+    (gt annotations keep their original representation)."""
+    if not dets or not gts:
+        return np.zeros((len(dets), len(gts)))
+    d_masks = [ann_to_mask(d, h, w).astype(bool) for d in dets]
+    g_masks = [ann_to_mask(g, h, w).astype(bool) for g in gts]
+    return _masks_pairwise_iou(d_masks, g_masks, iscrowd)

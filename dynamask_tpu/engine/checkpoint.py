@@ -1,0 +1,75 @@
+"""Checkpoint save/load (orbax).
+
+Rebuild of the reference checkpoint contract (reference: mmcv CheckpointHook
+— epoch_N + latest each epoch embedding meta {epoch, iter, CLASSES, config};
+``resume_from`` restores model+optimizer+progress, ``load_from`` weights only
+— apis/train.py:139-142, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(work_dir: str, state, epoch: int,
+                    meta: Optional[Dict[str, Any]] = None) -> str:
+    """Write ``epoch_{N}`` + refresh ``latest`` pointer."""
+    ocp = _ocp()
+    path = osp.abspath(osp.join(work_dir, f'epoch_{epoch}'))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    meta = dict(meta or {})
+    meta['epoch'] = epoch
+    meta['step'] = int(jax.device_get(state.step))
+    with open(osp.join(work_dir, f'epoch_{epoch}.meta.json'), 'w') as f:
+        json.dump(meta, f)
+    with open(osp.join(work_dir, 'latest'), 'w') as f:
+        f.write(f'epoch_{epoch}')
+    return path
+
+
+def load_checkpoint(path: str, target_state):
+    """Restore a TrainState written by :func:`save_checkpoint`.
+
+    ``path`` may be a direct epoch dir or a work_dir containing ``latest``.
+    """
+    ocp = _ocp()
+    path = osp.abspath(path)
+    if osp.isfile(osp.join(path, 'latest')):
+        with open(osp.join(path, 'latest')) as f:
+            path = osp.join(path, f.read().strip())
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(path, target=jax.device_get(target_state))
+    meta_path = path + '.meta.json'
+    meta = {}
+    if osp.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
+
+
+def load_params_only(path: str, target_params):
+    """``load_from`` semantics: weights only, progress reset."""
+    ocp = _ocp()
+    path = osp.abspath(path)
+    if osp.isfile(osp.join(path, 'latest')):
+        with open(osp.join(path, 'latest')) as f:
+            path = osp.join(path, f.read().strip())
+    ckpt = ocp.StandardCheckpointer()
+    meta = ckpt.metadata(path)
+    restored = ckpt.restore(path)
+    # restored is the full TrainState dict; pull params/batch_stats
+    if isinstance(restored, dict) and 'params' in restored:
+        return restored['params'], restored.get('batch_stats', {})
+    return restored, {}
