@@ -76,6 +76,7 @@ class CocoDataset:
                                                         (1344, 1344)),
                  max_gts: int = 100,
                  mask_crop_size: int = 128,
+                 with_semantic: bool = False,
                  classes: Optional[Sequence[str]] = None):
         if data_root is not None:
             if not osp.isabs(ann_file):
@@ -88,6 +89,7 @@ class CocoDataset:
         self.canvases = [tuple(c) for c in canvases]
         self.max_gts = max_gts
         self.mask_crop_size = mask_crop_size
+        self.with_semantic = with_semantic
         if classes is not None:
             self.CLASSES = tuple(classes)
 
@@ -162,7 +164,8 @@ class CocoDataset:
             results['ann_info'] = self.get_ann_info(idx)
         results = self.pipeline(results)
         sample = format_sample(results, self.canvases, self.max_gts,
-                               self.mask_crop_size)
+                               self.mask_crop_size,
+                               with_semantic=self.with_semantic)
         sample['img_id'] = np.array(info['id'], np.int64)
         return sample
 

@@ -79,7 +79,9 @@ def rasterize_mask_crop(segm, window: np.ndarray, crop_size: int,
 def format_sample(results: Dict, canvases: Sequence[Tuple[int, int]],
                   max_gts: int = 100, crop_size: int = 128,
                   crop_margin: float = 2.0,
-                  max_ignore: int = 20) -> Dict[str, np.ndarray]:
+                  max_ignore: int = 20,
+                  with_semantic: bool = False,
+                  semantic_stride: int = 4) -> Dict[str, np.ndarray]:
     """One pipeline output -> static-shape arrays (pre-batching)."""
     img = results['img']
     h, w = img.shape[:2]
@@ -134,6 +136,25 @@ def format_sample(results: Dict, canvases: Sequence[Tuple[int, int]],
                     tuple(out['ori_shape'].astype(int)), sf,
                     bool(out['flip']), float(w))
             out.update(gt_crops=crops, gt_windows=windows)
+
+            if with_semantic:
+                # union-of-instances binary image target at feature stride
+                # (RefineMask semantic branch supervision,
+                # refine_mask_head.py:get_targets semantic part)
+                import cv2
+                sh = ch // semantic_stride
+                sw = cw // semantic_stride
+                sem = np.zeros((sh, sw), np.uint8)
+                for i in range(n):
+                    segm = results['gt_masks'][i]
+                    if isinstance(segm, dict):
+                        continue  # crowd regions are not instance gt here
+                    pts = [((np.asarray(p, np.float32).reshape(-1, 2)
+                             / semantic_stride)).round().astype(np.int32)
+                           for p in segm]
+                    if pts:
+                        cv2.fillPoly(sem, pts, 1)
+                out['gt_semantic'] = sem
     return out
 
 

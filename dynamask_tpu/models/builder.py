@@ -141,6 +141,40 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     if t == 'DynaMaskRoIHead':
         from .dynamask_roi_head import build_dynamask_roi_head
         return build_dynamask_roi_head(cfg, rcnn_train, rcnn_test, common)
+    if t in ('RefineRoIHead', 'SimpleRefineRoIHead'):
+        from .refine_mask_head import (RefineMaskHead, RefineRoIHead,
+                                       SimpleRefineRoIHead)
+        mhc = _cfg(cfg['mask_head'])
+        mt = mhc.pop('type')
+        assert mt in ('RefineMaskHead', 'SimpleRefineMaskHead'), mt
+        loss_cfg = _cfg(mhc.pop('loss_cfg', {}))
+        mask_head = RefineMaskHead(
+            num_convs_instance=mhc.get('num_convs_instance', 2),
+            num_convs_semantic=mhc.get('num_convs_semantic', 4),
+            conv_out_channels_instance=mhc.get('conv_out_channels_instance',
+                                               256),
+            conv_out_channels_semantic=mhc.get('conv_out_channels_semantic',
+                                               256),
+            semantic_out_stride=mhc.get('semantic_out_stride', 4),
+            fusion_type=mhc.get('fusion_type', 'MultiBranchFusion'),
+            dilations=tuple(mhc.get('dilations', (1, 3, 5))),
+            mask_use_sigmoid=mhc.get('mask_use_sigmoid', False),
+            stage_num_classes=tuple(mhc.get('stage_num_classes',
+                                            (80, 80, 80, 80))),
+            stage_sup_size=tuple(mhc.get('stage_sup_size',
+                                         (14, 28, 56, 112))))
+        cls = RefineRoIHead if t == 'RefineRoIHead' else SimpleRefineRoIHead
+        return cls(
+            mask_head=mask_head,
+            stage_sup_size=tuple(mhc.get('stage_sup_size',
+                                         (14, 28, 56, 112))),
+            stage_instance_loss_weight=tuple(
+                loss_cfg.get('stage_instance_loss_weight',
+                             (0.25, 0.5, 0.75, 1.0))),
+            semantic_loss_weight=loss_cfg.get('semantic_loss_weight', 1.0),
+            boundary_width=loss_cfg.get('boundary_width', 2),
+            start_stage=loss_cfg.get('start_stage', 1),
+            **common)
     raise KeyError(f'unsupported roi head {t}')
 
 
