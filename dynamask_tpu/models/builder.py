@@ -178,12 +178,54 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     raise KeyError(f'unsupported roi head {t}')
 
 
+def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
+    from .single_stage import RetinaNet, SingleStageDetector, RetinaHead
+    backbone = build_backbone(cfg['backbone'])
+    neck = build_neck(cfg['neck'])
+    hc = _cfg(cfg['bbox_head'])
+    ht = hc.pop('type')
+    assert ht == 'RetinaHead', ht
+    anchor_cfg = _cfg(hc.get('anchor_generator'))
+    coder = _cfg(hc.get('bbox_coder'))
+    loss_cls = _cfg(hc.get('loss_cls'))
+    ratios = tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0)))
+    spo = anchor_cfg.get('scales_per_octave', 3)
+    head = RetinaHead(num_classes=hc.get('num_classes', 80),
+                      in_channels=hc.get('in_channels', 256),
+                      feat_channels=hc.get('feat_channels', 256),
+                      stacked_convs=hc.get('stacked_convs', 4),
+                      num_anchors=len(ratios) * spo)
+    assigner = _cfg(_cfg(train_cfg).get('assigner'))
+    tc = _cfg(test_cfg)
+    cls = RetinaNet if t == 'RetinaNet' else SingleStageDetector
+    return cls(
+        backbone=backbone, neck=neck, bbox_head=head,
+        num_classes=hc.get('num_classes', 80),
+        anchor_octave_base_scale=anchor_cfg.get('octave_base_scale', 4),
+        anchor_scales_per_octave=spo,
+        anchor_ratios=ratios,
+        anchor_strides=tuple(anchor_cfg.get('strides', (8, 16, 32, 64, 128))),
+        target_means=tuple(coder.get('target_means', (0., 0., 0., 0.))),
+        target_stds=tuple(coder.get('target_stds', (1., 1., 1., 1.))),
+        pos_iou_thr=assigner.get('pos_iou_thr', 0.5),
+        neg_iou_thr=assigner.get('neg_iou_thr', 0.4),
+        min_pos_iou=assigner.get('min_pos_iou', 0.0),
+        focal_gamma=loss_cls.get('gamma', 2.0),
+        focal_alpha=loss_cls.get('alpha', 0.25),
+        nms_pre=tc.get('nms_pre', 1000),
+        score_thr=tc.get('score_thr', 0.05),
+        nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+        max_per_img=tc.get('max_per_img', 100))
+
+
 def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None):
     """Build a detector module from a reference-schema config."""
     cfg = _cfg(model_cfg)
     t = cfg.pop('type')
     cfg.pop('pretrained', None)
+    if t in ('RetinaNet', 'SingleStageDetector'):
+        return build_single_stage(t, cfg, _cfg(train_cfg), _cfg(test_cfg))
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector}.get(t)
     if det_cls is None:

@@ -1,0 +1,235 @@
+"""Single-stage detectors: RetinaNet family.
+
+Rebuild of the reference single-stage stack (reference:
+mmdet/models/dense_heads/anchor_head.py:14-560 with use_sigmoid focal loss,
+retina_head.py, detectors/single_stage.py + retinanet.py). Anchor targets are
+computed densely over the concatenated anchor set per image (all anchors kept
+— ``PseudoSampler`` semantics, loss normalized by the positive count).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.registry import HEADS, DETECTORS
+from ..core.anchors import AnchorGenerator
+from ..core.assigners import MaxIoUAssigner
+from ..core.bbox_transforms import bbox2delta, delta2bbox, clip_boxes
+from ..ops.nms import multiclass_nms
+from .layers import normal_init
+from .losses import l1_loss
+
+
+@HEADS.register_module()
+class RetinaHead(nn.Module):
+    """4-conv cls/reg towers with shared-across-levels weights
+    (reference retina_head.py:13-120; prior-prob -4.595 cls bias init)."""
+
+    num_classes: int = 80
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             name=f'cls_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             name=f'reg_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        # bias init = -log((1-p)/p), p=.01 — focal-loss prior
+        retina_cls = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             bias_init=nn.initializers.constant(-4.59512),
+                             name='retina_cls')
+        retina_reg = nn.Conv(self.num_anchors * 4, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             name='retina_reg')
+        cls_scores, bbox_preds = [], []
+        for x in feats:
+            c = x
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            r = x
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            cls_scores.append(retina_cls(c))
+            bbox_preds.append(retina_reg(r))
+        return cls_scores, bbox_preds
+
+
+def anchor_head_loss(cls_scores: List[jnp.ndarray],
+                     bbox_preds: List[jnp.ndarray],
+                     anchors: jnp.ndarray,
+                     gt_boxes: jnp.ndarray,
+                     gt_labels: jnp.ndarray,
+                     gt_valid: jnp.ndarray,
+                     num_classes: int,
+                     assigner: MaxIoUAssigner,
+                     target_means=(0., 0., 0., 0.),
+                     target_stds=(1., 1., 1., 1.),
+                     focal_gamma: float = 2.0,
+                     focal_alpha: float = 0.25,
+                     loss_cls_weight: float = 1.0,
+                     loss_bbox_weight: float = 1.0):
+    """Dense focal-loss anchor training (anchor_head.py:loss with
+    sampling=False: every non-ignored anchor contributes to cls, normalized
+    by the batch positive count)."""
+    b = cls_scores[0].shape[0]
+    flat_cls = jnp.concatenate(
+        [c.reshape(b, -1, num_classes) for c in cls_scores], 1)
+    flat_reg = jnp.concatenate(
+        [p.reshape(b, -1, 4) for p in bbox_preds], 1)
+    anchor_valid = jnp.ones(anchors.shape[0], bool)
+
+    def single(cls_s, reg_s, gts, glabels, gvalid):
+        assign = assigner(anchors, anchor_valid, gts, gvalid, glabels)
+        pos = assign.gt_inds > 0
+        neg = assign.gt_inds == 0
+        include = pos | neg  # ignore (-1) anchors excluded
+        onehot = jax.nn.one_hot(jnp.where(pos, assign.labels, num_classes),
+                                num_classes + 1)[:, :num_classes]
+        cls_l = jnp.sum(
+            _focal_elementwise(cls_s, onehot, focal_gamma, focal_alpha) *
+            include[:, None])
+        gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
+        tgt = bbox2delta(anchors, gts[gt_idx], target_means, target_stds)
+        reg_l = jnp.sum(jnp.abs(reg_s - tgt) * pos[:, None])
+        return cls_l, reg_l, jnp.sum(pos)
+
+    cls_l, reg_l, num_pos = jax.vmap(single)(flat_cls, flat_reg, gt_boxes,
+                                             gt_labels, gt_valid)
+    avg = jnp.maximum(jnp.sum(num_pos), 1.0)
+    return {'loss_cls': loss_cls_weight * jnp.sum(cls_l) / avg,
+            'loss_bbox': loss_bbox_weight * jnp.sum(reg_l) / avg}
+
+
+def _focal_elementwise(logits, onehot, gamma, alpha):
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    a_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    return a_t * ((1 - p_t) ** gamma) * ce
+
+
+def anchor_head_get_dets(cls_scores, bbox_preds, mlvl_anchors, img_shapes,
+                         scale_factors, num_classes,
+                         target_means=(0., 0., 0., 0.),
+                         target_stds=(1., 1., 1., 1.),
+                         nms_pre: int = 1000, score_thr: float = 0.05,
+                         iou_threshold: float = 0.5, max_per_img: int = 100,
+                         rescale: bool = True):
+    """anchor_head.py:get_bboxes — per-level topk by max-class score, decode,
+    multiclass NMS."""
+    b = cls_scores[0].shape[0]
+    lvl_boxes, lvl_scores = [], []
+    for cs, bp, anc in zip(cls_scores, bbox_preds, mlvl_anchors):
+        scores = jax.nn.sigmoid(cs.reshape(b, -1, num_classes))
+        deltas = bp.reshape(b, -1, 4)
+        k = min(nms_pre, scores.shape[1])
+        top_s, top_i = jax.lax.top_k(jnp.max(scores, -1), k)
+        sel_scores = jnp.take_along_axis(scores, top_i[..., None], 1)
+        sel_deltas = jnp.take_along_axis(deltas, top_i[..., None], 1)
+        sel_anchors = anc[top_i]
+        boxes = delta2bbox(sel_anchors, sel_deltas, target_means, target_stds)
+        boxes = jax.vmap(clip_boxes)(boxes, img_shapes)
+        lvl_boxes.append(boxes)
+        lvl_scores.append(sel_scores)
+    all_boxes = jnp.concatenate(lvl_boxes, 1)
+    all_scores = jnp.concatenate(lvl_scores, 1)
+
+    def single(boxes, scores, scale):
+        if rescale:
+            boxes = boxes / jnp.asarray(scale, boxes.dtype)
+        return multiclass_nms(boxes, scores, score_thr, iou_threshold,
+                              max_per_img)
+
+    return jax.vmap(single)(all_boxes, all_scores, scale_factors)
+
+
+@DETECTORS.register_module()
+class SingleStageDetector(nn.Module):
+    """reference detectors/single_stage.py."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    bbox_head: nn.Module
+    num_classes: int = 80
+    # anchors (retinanet: octave 4x3, ratios 3, strides 8..128)
+    anchor_octave_base_scale: float = 4.0
+    anchor_scales_per_octave: int = 3
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    target_means: Tuple[float, ...] = (0., 0., 0., 0.)
+    target_stds: Tuple[float, ...] = (1., 1., 1., 1.)
+    # train
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    # test
+    nms_pre: int = 1000
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_per_img: int = 100
+
+    def _anchor_generator(self):
+        return AnchorGenerator(
+            strides=self.anchor_strides, ratios=self.anchor_ratios,
+            octave_base_scale=self.anchor_octave_base_scale,
+            scales_per_octave=self.anchor_scales_per_octave)
+
+    def extract_feat(self, images, train=False):
+        return self.neck(self.backbone(images, train=train), train=train)
+
+    def __call__(self, batch, train: bool = False):
+        feats = self.extract_feat(batch['image'], train=train)
+        return self.bbox_head(feats, train=train)
+
+    def forward_train(self, batch):
+        feats = self.extract_feat(batch['image'], train=True)
+        cls_scores, bbox_preds = self.bbox_head(feats, train=True)
+        gen = self._anchor_generator()
+        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
+        anchors = jnp.concatenate(mlvl, 0)
+        return anchor_head_loss(
+            cls_scores, bbox_preds, anchors, batch['gt_boxes'],
+            batch['gt_labels'], batch['gt_valid'], self.num_classes,
+            MaxIoUAssigner(pos_iou_thr=self.pos_iou_thr,
+                           neg_iou_thr=self.neg_iou_thr,
+                           min_pos_iou=self.min_pos_iou,
+                           match_low_quality=True),
+            self.target_means, self.target_stds,
+            self.focal_gamma, self.focal_alpha)
+
+    def simple_test(self, batch, rescale: bool = True):
+        feats = self.extract_feat(batch['image'], train=False)
+        cls_scores, bbox_preds = self.bbox_head(feats, train=False)
+        gen = self._anchor_generator()
+        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
+        dets, labels, valid = anchor_head_get_dets(
+            cls_scores, bbox_preds, mlvl, batch['img_shape'],
+            batch['scale_factor'], self.num_classes,
+            self.target_means, self.target_stds, self.nms_pre,
+            self.score_thr, self.nms_iou_thr, self.max_per_img, rescale)
+        return {'dets': dets, 'labels': labels, 'det_valid': valid}
+
+
+@DETECTORS.register_module()
+class RetinaNet(SingleStageDetector):
+    """reference detectors/retinanet.py."""
+    pass

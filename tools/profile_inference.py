@@ -19,14 +19,17 @@ from __graft_entry__ import _build_flagship, _demo_batch
 from dynamask_tpu.ops.paste import paste_masks
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, *args, iters=8):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
