@@ -7,6 +7,10 @@ from .transforms import (LoadImageFromFile, LoadAnnotations, Resize,
                          RandomFlip, Normalize, Pad, Compose)
 from .formatting import format_sample, collate, canvas_for
 from .coco import CocoDataset, CocoIndex, build_dataset, COCO_CLASSES
+from .lvis import LVISV1Dataset, LVISV05Dataset, LvisEvaluator
+from .cityscapes import CityscapesDataset, CITYSCAPES_CLASSES
+from .dataset_wrappers import (ConcatDataset, RepeatDataset,
+                               ClassBalancedDataset)
 from .loader import DataLoader, GroupedBatchSampler, build_dataloader
 
 __all__ = [
@@ -17,5 +21,8 @@ __all__ = [
     'LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
     'Normalize', 'Pad', 'Compose', 'format_sample', 'collate', 'canvas_for',
     'CocoDataset', 'CocoIndex', 'build_dataset', 'COCO_CLASSES',
+    'LVISV1Dataset', 'LVISV05Dataset', 'LvisEvaluator',
+    'CityscapesDataset', 'CITYSCAPES_CLASSES',
+    'ConcatDataset', 'RepeatDataset', 'ClassBalancedDataset',
     'DataLoader', 'GroupedBatchSampler', 'build_dataloader',
 ]

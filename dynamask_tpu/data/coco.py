@@ -230,7 +230,11 @@ class CocoDataset:
 
 def build_dataset(cfg: dict, default_args: Optional[dict] = None):
     cfg = dict(cfg)
-    t = cfg.pop('type')
+    t = cfg.get('type')
+    if t in ('RepeatDataset', 'ClassBalancedDataset', 'ConcatDataset'):
+        from .dataset_wrappers import wrap_dataset
+        return wrap_dataset(cfg, lambda c: build_dataset(c, default_args))
+    cfg.pop('type')
     if default_args:
         for k, v in default_args.items():
             cfg.setdefault(k, v)

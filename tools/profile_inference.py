@@ -19,13 +19,22 @@ from __graft_entry__ import _build_flagship, _demo_batch
 from dynamask_tpu.ops.paste import paste_masks
 
 
-def timeit(fn, *args, iters=8):
-    out = fn(*args)
+def timeit(fn, variables, batch, iters=8):
+    """Blocked per-iteration timing with varying inputs (the axon relay
+    appears to cache identical (executable, args) executions)."""
+    def vary(b, i):
+        b = dict(b)
+        b['image'] = b['image'] + jnp.float32(i) * 1e-6
+        return b
+
+    out = fn(variables, vary(batch, 999))
     jax.block_until_ready(out)
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        b = vary(batch, i)
+        jax.block_until_ready(b['image'])
         t0 = time.time()
-        out = fn(*args)
+        out = fn(variables, b)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     times.sort()
