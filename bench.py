@@ -47,8 +47,16 @@ def main():
          else jnp.zeros(x.shape, x.dtype))
         for k, x in zip(keys, leaves)])
 
+    bf16 = os.environ.get('BENCH_BF16', '1') == '1'
+    if bf16:
+        from dynamask_tpu.core.fp16 import to_bf16
+        variables = to_bf16(variables)
+
     @jax.jit
     def fwd(v, b):
+        if bf16:
+            b = dict(b)
+            b['image'] = b['image'].astype(jnp.bfloat16)
         out = det.apply(v, b, method='simple_test')
         return out['dets'], out['labels'], out['det_valid'], out['mask_probs']
 

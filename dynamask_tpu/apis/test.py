@@ -20,16 +20,24 @@ from ..ops.paste import paste_masks
 
 
 def make_test_fn(det, variables, mask_canvas: Tuple[int, int],
-                 mask_thr: float = 0.5):
+                 mask_thr: float = 0.5, bf16: bool = False):
     """Build the jitted full test step: simple_test + device-side pasting.
 
     Returns fn(batch) -> dict of padded per-image results. Masks come back
     as a boolean (B, D, canvas_h, canvas_w) tensor thresholded on device.
+    With ``bf16=True`` the network computes in bfloat16 (box/score decode
+    stays fp32 — core/fp16.py policy).
     """
     ch, cw = mask_canvas
+    if bf16:
+        from ..core.fp16 import to_bf16
+        variables = to_bf16(variables)
 
     @jax.jit
     def fn(batch):
+        if bf16:
+            batch = dict(batch)
+            batch['image'] = batch['image'].astype(jnp.bfloat16)
         out = det.apply(variables, batch, method='simple_test')
         b, d = out['dets'].shape[:2]
         probs = out['mask_probs']

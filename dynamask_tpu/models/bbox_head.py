@@ -141,6 +141,9 @@ def bbox_head_get_dets(rois: jnp.ndarray,
                        rescale: bool = True,
                        reg_class_agnostic: bool = False):
     """Decode + multiclass NMS for one image (bbox_head.py:get_bboxes)."""
+    # force_fp32 boundary (core/fp16.py policy)
+    cls_logits = cls_logits.astype(jnp.float32)
+    bbox_deltas = bbox_deltas.astype(jnp.float32)
     scores = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]
     boxes = delta2bbox(rois, bbox_deltas, target_means, target_stds)
     boxes = boxes.reshape(rois.shape[0], -1, 4)

@@ -146,6 +146,10 @@ def rpn_get_proposals(cls_scores: List[jnp.ndarray],
     lvl_boxes, lvl_scores, lvl_ids = [], [], []
     for lvl, (cs, bp, anc) in enumerate(zip(cls_scores, bbox_preds,
                                             mlvl_anchors)):
+        # force_fp32 boundary: box/score decode needs full precision even
+        # when the network computes in bf16 (core/fp16.py policy)
+        cs = cs.astype(jnp.float32)
+        bp = bp.astype(jnp.float32)
         a = cs.shape[-1]
         scores = jax.nn.sigmoid(cs.reshape(b, -1))          # (B, K_l)
         deltas = bp.reshape(b, -1, a, 4).reshape(b, -1, 4)  # (B, K_l, 4)

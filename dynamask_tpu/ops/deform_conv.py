@@ -49,10 +49,11 @@ def _bilinear_sample_nhwc(x: jnp.ndarray, ys: jnp.ndarray,
     v01 = tap(y0, x0 + 1)
     v10 = tap(y0 + 1, x0)
     v11 = tap(y0 + 1, x0 + 1)
-    w00 = ((1 - ly) * (1 - lx))[..., None]
-    w01 = ((1 - ly) * lx)[..., None]
-    w10 = (ly * (1 - lx))[..., None]
-    w11 = (ly * lx)[..., None]
+    dt = x.dtype
+    w00 = ((1 - ly) * (1 - lx))[..., None].astype(dt)
+    w01 = ((1 - ly) * lx)[..., None].astype(dt)
+    w10 = (ly * (1 - lx))[..., None].astype(dt)
+    w11 = (ly * lx)[..., None].astype(dt)
     return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
 
 
@@ -106,7 +107,8 @@ def deform_conv2d(x: jnp.ndarray,
             contrib = jnp.einsum('nhwc,co->nhwo', sampled, weights[i, j],
                                  preferred_element_type=jnp.float32)
             out = contrib if out is None else out + contrib
-    return out
+    # accumulate f32 on the MXU, return in the compute dtype
+    return out.astype(x.dtype)
 
 
 class DeformConv2dPack:

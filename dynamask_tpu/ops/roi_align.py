@@ -69,10 +69,12 @@ def _bilinear_gather(flat_feats: jnp.ndarray,
         idx = base_idx + yi * row_stride + xi
         return jnp.take(flat_feats, idx, axis=0)
 
-    w00 = (hy * hx)[..., None]
-    w01 = (hy * lx)[..., None]
-    w10 = (ly * hx)[..., None]
-    w11 = (ly * lx)[..., None]
+    # keep the compute dtype of the features (bf16 stays bf16)
+    dt = flat_feats.dtype
+    w00 = (hy * hx)[..., None].astype(dt)
+    w01 = (hy * lx)[..., None].astype(dt)
+    w10 = (ly * hx)[..., None].astype(dt)
+    w11 = (ly * lx)[..., None].astype(dt)
     out = (gather(y0i, x0i) * w00 + gather(y0i, x1i) * w01 +
            gather(y1i, x0i) * w10 + gather(y1i, x1i) * w11)
     return out * inside[..., None]
