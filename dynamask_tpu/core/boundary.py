@@ -18,18 +18,33 @@ import jax.numpy as jnp
 
 def _laplacian_conv(x: jnp.ndarray, boundary_width: int,
                     stride: int = 1, padding: int = None) -> jnp.ndarray:
-    """Conv of (N, H, W) maps with the all -1 / center (k²-1) kernel."""
+    """Conv of (N, H, W) maps with the all -1 / center (k²-1) kernel.
+
+    Implemented as k² shifted adds (box sum) instead of a 1-channel NCHW
+    conv — single-channel convs tile terribly on the TPU MXU while shifted
+    slices are pure VPU adds: kernel = k²·center − box_sum."""
     k = 2 * boundary_width + 1
-    kernel = -jnp.ones((k, k), jnp.float32)
-    kernel = kernel.at[boundary_width, boundary_width].set(k * k - 1)
-    kernel = kernel.reshape(1, 1, k, k)  # OIHW
     if padding is None:
         padding = boundary_width
-    return jax.lax.conv_general_dilated(
-        x[:, None, :, :].astype(jnp.float32), kernel,
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))[:, 0]
+    x = x.astype(jnp.float32)
+    n, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding)))
+    oh = (h + 2 * padding - k) // stride + 1
+    ow = (w + 2 * padding - k) // stride + 1
+    box = None
+    for i in range(k):
+        for j in range(k):
+            sl = jax.lax.slice(
+                xp, (0, i, j),
+                (n, i + (oh - 1) * stride + 1, j + (ow - 1) * stride + 1),
+                (1, stride, stride))
+            box = sl if box is None else box + sl
+    center = jax.lax.slice(
+        xp, (0, boundary_width, boundary_width),
+        (n, boundary_width + (oh - 1) * stride + 1,
+         boundary_width + (ow - 1) * stride + 1),
+        (1, stride, stride))
+    return (k * k) * center - box
 
 
 def generate_block_target(mask: jnp.ndarray, boundary_width: int = 3) -> jnp.ndarray:

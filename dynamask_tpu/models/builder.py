@@ -175,6 +175,38 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
             boundary_width=loss_cfg.get('boundary_width', 2),
             start_stage=loss_cfg.get('start_stage', 1),
             **common)
+    if t == 'PointRefineRoIHead':
+        from .point_refine_head import PointRefineRoIHead, PointRefineMaskHead
+        mhc = _cfg(cfg['mask_head'])
+        assert mhc.pop('type') == 'PointRefineMaskHead'
+        loss_cfg = _cfg(mhc.pop('loss_cfg', {}))
+        mask_head = PointRefineMaskHead(
+            num_convs_instance=mhc.get('num_convs_instance', 2),
+            num_convs_semantic=mhc.get('num_convs_semantic', 4),
+            num_fcs=mhc.get('num_fcs', 3),
+            conv_out_channels_instance=mhc.get('conv_out_channels_instance',
+                                               256),
+            conv_out_channels_semantic=mhc.get('conv_out_channels_semantic',
+                                               256),
+            semantic_out_stride=mhc.get('semantic_out_stride', 4),
+            mask_use_sigmoid=mhc.get('mask_use_sigmoid', False),
+            coarse_pred_each_layer=mhc.get('coarse_pred_each_layer', True),
+            stage_num_classes=tuple(mhc.get('stage_num_classes',
+                                            (80, 80, 80, 80))),
+            stage_sup_size=tuple(mhc.get('stage_sup_size',
+                                         (14, 28, 56, 112))),
+            num_points=mhc.get('num_points', 196))
+        return PointRefineRoIHead(
+            mask_head=mask_head,
+            stage_sup_size=tuple(mhc.get('stage_sup_size',
+                                         (14, 28, 56, 112))),
+            stage_instance_loss_weight=tuple(
+                loss_cfg.get('stage_instance_loss_weight', (0.5,) * 4)),
+            semantic_loss_weight=loss_cfg.get('semantic_loss_weight', 1.0),
+            detail_loss_weight=loss_cfg.get('detail_loss_weight', 1.0),
+            boundary_width=loss_cfg.get('boundary_width', 2),
+            start_stage=loss_cfg.get('start_stage', 4),
+            **common)
     raise KeyError(f'unsupported roi head {t}')
 
 

@@ -23,38 +23,60 @@ import jax
 import jax.numpy as jnp
 
 
+def pack_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W, 4C): each entry holds its 2x2 neighborhood
+    [(y,x), (y,x+1), (y+1,x), (y+1,x+1)], zero-padded past the edges. Lets a
+    bilinear sample fetch all four corners with ONE gather row — TPU gather
+    cost scales with row count, so this is ~4x cheaper than per-corner
+    gathers (and the 4C row fills the 128-lane tile that C=64 wastes)."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate([
+        xp[:, :h, :w], xp[:, :h, 1:w + 1],
+        xp[:, 1:h + 1, :w], xp[:, 1:h + 1, 1:w + 1]], axis=-1)
+
+
+def packed_bilinear_gather(flat4c: jnp.ndarray, base_idx: jnp.ndarray,
+                           ys: jnp.ndarray, xs: jnp.ndarray,
+                           h: int, w: int, row_stride: int,
+                           c: int) -> jnp.ndarray:
+    """Bilinear sample from a corner-packed table with zero-outside
+    semantics. Corner weights use the tent form relu(1 - |coord - row|),
+    which uniformly covers every boundary case (e.g. y∈(-1,0) puts the
+    correct weight on row 0 through the clamped entry)."""
+    iy = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    ix = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    idx = base_idx + iy * row_stride + ix
+    rows = jnp.take(flat4c, idx, axis=0)          # (..., 4C)
+    v00 = rows[..., 0 * c:1 * c]
+    v01 = rows[..., 1 * c:2 * c]
+    v10 = rows[..., 2 * c:3 * c]
+    v11 = rows[..., 3 * c:4 * c]
+    dt = flat4c.dtype
+    fy = iy.astype(ys.dtype)
+    fx = ix.astype(xs.dtype)
+    wy0 = jnp.clip(1.0 - jnp.abs(ys - fy), 0.0)
+    wy1 = jnp.clip(1.0 - jnp.abs(ys - fy - 1.0), 0.0)
+    wx0 = jnp.clip(1.0 - jnp.abs(xs - fx), 0.0)
+    wx1 = jnp.clip(1.0 - jnp.abs(xs - fx - 1.0), 0.0)
+    out = (v00 * (wy0 * wx0)[..., None].astype(dt) +
+           v01 * (wy0 * wx1)[..., None].astype(dt) +
+           v10 * (wy1 * wx0)[..., None].astype(dt) +
+           v11 * (wy1 * wx1)[..., None].astype(dt))
+    return out
+
+
 def _bilinear_sample_nhwc(x: jnp.ndarray, ys: jnp.ndarray,
                           xs: jnp.ndarray) -> jnp.ndarray:
     """Sample (N, H, W, C) at per-pixel fractional coords (N, Ho, Wo) with
     zero padding outside — matching the CUDA kernel's dmcn_im2col_bilinear
     boundary behaviour (taps fully outside contribute 0)."""
     n, h, w, c = x.shape
-
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    ly = ys - y0
-    lx = xs - x0
-
-    def tap(yi, xi):
-        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        flat = x.reshape(n, h * w, c)
-        idx = yc * w + xc                      # (N, Ho, Wo)
-        vals = jnp.take_along_axis(
-            flat, idx.reshape(n, -1, 1), axis=1).reshape(idx.shape + (c,))
-        return vals * inb[..., None]
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    dt = x.dtype
-    w00 = ((1 - ly) * (1 - lx))[..., None].astype(dt)
-    w01 = ((1 - ly) * lx)[..., None].astype(dt)
-    w10 = (ly * (1 - lx))[..., None].astype(dt)
-    w11 = (ly * lx)[..., None].astype(dt)
-    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    packed = pack_corners(x).reshape(n * h * w, 4 * c)
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
+    out = packed_bilinear_gather(packed, base, ys, xs, h, w, w, c)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    return out * inside[..., None].astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
