@@ -91,17 +91,24 @@ def build_bbox_head(cfg: dict):
 def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     cfg = _cfg(cfg)
     t = cfg.pop('type')
-    bbox_head, coder, loss_cls, loss_bbox = build_bbox_head(cfg['bbox_head'])
+    head_cfg = cfg['bbox_head']
+    if isinstance(head_cfg, (list, tuple)):  # cascade: list of stage heads
+        head_cfg = head_cfg[0]
+    bbox_head, coder, loss_cls, loss_bbox = build_bbox_head(head_cfg)
     bbox_extractor = _cfg(cfg.get('bbox_roi_extractor'))
     mask_extractor = _cfg(cfg.get('mask_roi_extractor'))
-    rcnn_train = _cfg(train_cfg.get('rcnn')) if train_cfg else {}
+    rcnn_raw = train_cfg.get('rcnn') if train_cfg else None
+    if isinstance(rcnn_raw, (list, tuple)):  # cascade: per-stage train cfgs
+        rcnn_train = _cfg(rcnn_raw[0])
+    else:
+        rcnn_train = _cfg(rcnn_raw)
     rcnn_test = _cfg(test_cfg.get('rcnn')) if test_cfg else {}
     assigner = _cfg(rcnn_train.get('assigner'))
     sampler = _cfg(rcnn_train.get('sampler'))
 
     common = dict(
         bbox_head=bbox_head,
-        num_classes=cfg['bbox_head'].get('num_classes', 80),
+        num_classes=head_cfg.get('num_classes', 80),
         featmap_strides=tuple(bbox_extractor.get('featmap_strides',
                                                  (4, 8, 16, 32))),
         bbox_roi_out=_cfg(bbox_extractor.get('roi_layer')).get('output_size', 7),
@@ -175,6 +182,45 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
             boundary_width=loss_cfg.get('boundary_width', 2),
             start_stage=loss_cfg.get('start_stage', 1),
             **common)
+    if t == 'CascadeRoIHead':
+        from .cascade_roi_head import CascadeRoIHead
+        heads, coders = [], []
+        for hc in cfg['bbox_head']:
+            h, coder_i, _, _ = build_bbox_head(hc)
+            heads.append(h)
+            coders.append(coder_i)
+        mask_head = None
+        if cfg.get('mask_head'):
+            mhc = _cfg(cfg['mask_head'])
+            mt = mhc.pop('type')
+            assert mt == 'FCNMaskHead', mt
+            mask_head = FCNMaskHead(
+                num_convs=mhc.get('num_convs', 4),
+                in_channels=mhc.get('in_channels', 256),
+                conv_out_channels=mhc.get('conv_out_channels', 256),
+                num_classes=mhc.get('num_classes', 80),
+                class_agnostic=mhc.get('class_agnostic', False))
+        stage_assigners = [_cfg(s.get('assigner')) for s in
+                           (train_cfg.get('rcnn') or [])] if isinstance(
+            train_cfg.get('rcnn'), (list, tuple)) else []
+        num_stages = cfg.get('num_stages', len(heads))
+        common2 = dict(common)
+        common2.pop('bbox_head')
+        common2.pop('target_stds')
+        return CascadeRoIHead(
+            bbox_head=tuple(heads),
+            mask_head=mask_head,
+            num_stages=num_stages,
+            stage_loss_weights=tuple(cfg.get('stage_loss_weights',
+                                             (1.0, 0.5, 0.25))),
+            stage_pos_iou_thr=tuple(
+                a.get('pos_iou_thr', thr) for a, thr in zip(
+                    stage_assigners, (0.5, 0.6, 0.7))) if stage_assigners
+            else (0.5, 0.6, 0.7),
+            stage_target_stds=tuple(tuple(c.get('target_stds',
+                                                (0.1, 0.1, 0.2, 0.2)))
+                                    for c in coders),
+            **common2)
     if t == 'PointRefineRoIHead':
         from .point_refine_head import PointRefineRoIHead, PointRefineMaskHead
         mhc = _cfg(cfg['mask_head'])
@@ -259,7 +305,8 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
     if t in ('RetinaNet', 'SingleStageDetector'):
         return build_single_stage(t, cfg, _cfg(train_cfg), _cfg(test_cfg))
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
-               'TwoStageDetector': TwoStageDetector}.get(t)
+               'TwoStageDetector': TwoStageDetector,
+               'CascadeRCNN': TwoStageDetector}.get(t)
     if det_cls is None:
         raise KeyError(f'unsupported detector {t}')
 
