@@ -304,6 +304,29 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
     cfg.pop('pretrained', None)
     if t in ('RetinaNet', 'SingleStageDetector'):
         return build_single_stage(t, cfg, _cfg(train_cfg), _cfg(test_cfg))
+    if t == 'FCOS':
+        from .fcos import FCOS, FCOSHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'FCOSHead'
+        strides = tuple(hc.get('strides', (8, 16, 32, 64, 128)))
+        head = FCOSHead(num_classes=hc.get('num_classes', 80),
+                        in_channels=hc.get('in_channels', 256),
+                        feat_channels=hc.get('feat_channels', 256),
+                        stacked_convs=hc.get('stacked_convs', 4),
+                        strides=strides)
+        tc = _cfg(test_cfg)
+        return FCOS(backbone=backbone, neck=neck, bbox_head=head,
+                    num_classes=hc.get('num_classes', 80), strides=strides,
+                    regress_ranges=tuple(tuple(r) for r in hc.get(
+                        'regress_ranges',
+                        ((-1, 64), (64, 128), (128, 256), (256, 512),
+                         (512, 1e8)))),
+                    nms_pre=tc.get('nms_pre', 1000),
+                    score_thr=tc.get('score_thr', 0.05),
+                    nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+                    max_per_img=tc.get('max_per_img', 100))
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector,
                'CascadeRCNN': TwoStageDetector}.get(t)

@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.registry import LOSSES
 
@@ -225,3 +226,140 @@ class MSELoss:
     def __call__(self, pred, target, weight=None, avg_factor=None):
         return self.loss_weight * weight_reduce_loss(
             (pred - target) ** 2, weight, avg_factor)
+
+
+def balanced_l1_loss(pred, target, beta: float = 1.0, alpha: float = 0.5,
+                     gamma: float = 1.5, weight=None, avg_factor=None):
+    """Libra R-CNN balanced L1 (reference losses/balanced_l1_loss.py)."""
+    diff = jnp.abs(pred - target)
+    b = np.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(jnp.maximum(b * diff / beta + 1,
+                                                         1e-12)) -
+        alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+def ghm_c_loss(logits, targets_onehot, label_weights, bins: int = 10,
+               momentum: float = 0.0):
+    """Gradient-harmonized classification loss (reference losses/ghm_loss.py
+    GHMC, stateless form — the EMA accumulator becomes plain histogram
+    weighting, exact when momentum=0 as in the shipped configs)."""
+    p = jax.nn.sigmoid(logits)
+    g = jnp.abs(jax.lax.stop_gradient(p) - targets_onehot)
+    valid = label_weights > 0
+    total = jnp.maximum(jnp.sum(valid), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1)
+    edges = edges.at[-1].add(1e-6)
+    weights = jnp.zeros_like(g)
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds)
+        w = jnp.where(num_in_bin > 0, total / jnp.maximum(num_in_bin, 1.0),
+                      0.0)
+        weights = jnp.where(inds, w, weights)
+    n_nonempty = jnp.maximum(jnp.sum(jnp.asarray(
+        [jnp.any((g >= edges[i]) & (g < edges[i + 1]) & valid)
+         for i in range(bins)])), 1.0)
+    weights = weights / n_nonempty
+    ce = binary_cross_entropy_with_logits(logits, targets_onehot)
+    return jnp.sum(ce * weights) / total
+
+
+def gaussian_focal_loss(pred_sigmoid, gaussian_target, alpha: float = 2.0,
+                        gamma: float = 4.0, weight=None, avg_factor=None):
+    """CornerNet heatmap focal loss (reference losses/gaussian_focal_loss.py)."""
+    eps = 1e-12
+    pos = (gaussian_target == 1).astype(pred_sigmoid.dtype)
+    neg_w = jnp.power(1 - gaussian_target, gamma)
+    pos_loss = -jnp.log(jnp.maximum(pred_sigmoid, eps)) * \
+        jnp.power(1 - pred_sigmoid, alpha) * pos
+    neg_loss = -jnp.log(jnp.maximum(1 - pred_sigmoid, eps)) * \
+        jnp.power(pred_sigmoid, alpha) * neg_w * (1 - pos)
+    return weight_reduce_loss(pos_loss + neg_loss, weight, avg_factor)
+
+
+def quality_focal_loss(logits, label_onehot, quality_score, beta: float = 2.0,
+                       weight=None, avg_factor=None):
+    """GFL quality focal loss (reference losses/gfocal_loss.py): BCE against
+    the per-positive quality (IoU) score, modulated by |score - sigmoid|^β."""
+    p = jax.nn.sigmoid(logits)
+    target = label_onehot * quality_score[..., None]
+    ce = binary_cross_entropy_with_logits(logits, target)
+    mod = jnp.power(jnp.abs(target - p), beta)
+    return weight_reduce_loss(ce * mod, weight, avg_factor)
+
+
+def distribution_focal_loss(logits, target, weight=None, avg_factor=None):
+    """GFL distribution focal loss: CE to the two integer bins bracketing a
+    continuous regression target (reference losses/gfocal_loss.py)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = target - tl.astype(target.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nbins = logits.shape[-1]
+    nl = -jnp.take_along_axis(logp, jnp.clip(tl, 0, nbins - 1)[..., None],
+                              -1)[..., 0]
+    nr = -jnp.take_along_axis(logp, jnp.clip(tr, 0, nbins - 1)[..., None],
+                              -1)[..., 0]
+    return weight_reduce_loss(nl * wl + nr * wr, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class BalancedL1Loss:
+    def __init__(self, alpha=0.5, gamma=1.5, beta=1.0, loss_weight=1.0):
+        self.alpha, self.gamma, self.beta = alpha, gamma, beta
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * balanced_l1_loss(
+            pred, target, self.beta, self.alpha, self.gamma, weight,
+            avg_factor)
+
+
+@LOSSES.register_module()
+class GHMC:
+    def __init__(self, bins=10, momentum=0, use_sigmoid=True, loss_weight=1.0):
+        assert use_sigmoid
+        self.bins = bins
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight, avg_factor=None):
+        return self.loss_weight * ghm_c_loss(pred, target, label_weight,
+                                             self.bins)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    def __init__(self, alpha=2.0, gamma=4.0, loss_weight=1.0):
+        self.alpha, self.gamma = alpha, gamma
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * gaussian_focal_loss(
+            pred, target, self.alpha, self.gamma, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class QualityFocalLoss:
+    def __init__(self, use_sigmoid=True, beta=2.0, loss_weight=1.0):
+        self.beta = beta
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, label_onehot, score, weight=None,
+                 avg_factor=None):
+        return self.loss_weight * quality_focal_loss(
+            pred, label_onehot, score, self.beta, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class DistributionFocalLoss:
+    def __init__(self, loss_weight=0.25):
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * distribution_focal_loss(
+            pred, target, weight, avg_factor)

@@ -15,6 +15,15 @@ Design (TPU-first, no gathers):
     — pure MXU work, no dynamic indexing.
 
 Semantics match ops/roi_align.py (mmcv aligned=True, static sampling_ratio).
+
+Coverage constraint: the fixed window covers RoIs whose per-axis extent on
+their routed level is ≤ ~55 feature pixels. Level routing bounds
+sqrt(w·h)/stride, so extreme aspect ratios (≳4:1 at the finest level) can
+exceed the window along one axis and lose their tail samples; the XLA
+implementation (the default path) has no such bound. Benchmarks on v5e show
+both at the dispatch floor for detection workloads, so this kernel is an
+exactness-tested alternative kept for future per-RoI fusion work rather than
+the default.
 """
 
 from __future__ import annotations
@@ -37,7 +46,7 @@ def _roi_align_kernel(meta_ref, coord_ref, feat_hbm, out_ref, scratch, sem,
                       *, out_size: int, sampling_ratio: int, c: int):
     i = pl.program_id(0)
     row0 = meta_ref[i, 0]
-    col0 = meta_ref[i, 1]
+    col0 = pl.multiple_of(meta_ref[i, 1], 8)
 
     dma = pltpu.make_async_copy(
         feat_hbm.at[pl.ds(row0, WIN), pl.ds(col0, WIN), :], scratch, sem)
@@ -54,9 +63,9 @@ def _roi_align_kernel(meta_ref, coord_ref, feat_hbm, out_ref, scratch, sem,
     h_eff = coord_ref[i, 4]   # window-local true level extent (edge clamp)
     w_eff = coord_ref[i, 5]
 
-    ids = jax.lax.broadcasted_iota(jnp.float32, (ps, 1), 0)[:, 0]
-    sub = ((ids % s) + 0.5) / s
-    bins = jnp.floor(ids / s)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+    sub = ((ids % s).astype(jnp.float32) + 0.5) / s
+    bins = (ids // s).astype(jnp.float32)
     ys = y_start + (bins + sub) * bin_h
     xs = x_start + (bins + sub) * bin_w
 
@@ -65,7 +74,8 @@ def _roi_align_kernel(meta_ref, coord_ref, feat_hbm, out_ref, scratch, sem,
         boundary semantics (zero outside [-1, extent], edge clamp inside)."""
         inside = (coords >= -1.0) & (coords <= extent)
         cc = jnp.clip(coords, 0.0, extent - 1.0)
-        col = jax.lax.broadcasted_iota(jnp.float32, (ps, WIN), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ps, WIN), 1
+                                       ).astype(jnp.float32)
         w = jnp.maximum(1.0 - jnp.abs(cc[:, None] - col), 0.0)
         return w * inside[:, None].astype(jnp.float32)
 
@@ -136,7 +146,11 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     lvl_h = jnp.asarray(ph, jnp.int32)[lvl]
     lvl_row_off = jnp.asarray(row_offsets, jnp.int32)[lvl]
     oy = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, lvl_h - WIN)
+    # Mosaic requires the sublane (width) DMA offset 8-aligned; flooring the
+    # origin shifts the window ≤7px left — routed RoIs span ≲45px, well
+    # inside the remaining 64-7-2 coverage.
     ox = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, w_max - WIN)
+    ox = (ox // 8) * 8
     row0 = lvl_row_off + roi_batch.astype(jnp.int32) * lvl_h + oy
 
     # true (unpadded) level extents in window-local coords, for edge clamping
