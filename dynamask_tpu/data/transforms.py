@@ -205,6 +205,232 @@ class Pad:
         return results
 
 
+@PIPELINES.register_module()
+class RandomCrop:
+    """Random crop with box clipping (reference transforms.py:498)."""
+
+    def __init__(self, crop_size: Tuple[int, int]):
+        self.crop_size = tuple(crop_size)
+
+    def __call__(self, results: Dict) -> Dict:
+        rng = results.setdefault('_rng', np.random.RandomState())
+        img = results['img']
+        ch = min(self.crop_size[0], img.shape[0])
+        cw = min(self.crop_size[1], img.shape[1])
+        y0 = rng.randint(0, img.shape[0] - ch + 1)
+        x0 = rng.randint(0, img.shape[1] - cw + 1)
+        results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+        results['img_shape'] = results['img'].shape
+        if 'gt_bboxes' in results:
+            shift = np.array([x0, y0, x0, y0], np.float32)
+            for key in ('gt_bboxes', 'gt_bboxes_ignore'):
+                boxes = results[key] - shift
+                boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, cw)
+                boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ch)
+                results[key] = boxes
+            keep = (results['gt_bboxes'][:, 2] > results['gt_bboxes'][:, 0]) \
+                & (results['gt_bboxes'][:, 3] > results['gt_bboxes'][:, 1])
+            results['gt_bboxes'] = results['gt_bboxes'][keep]
+            if 'gt_labels' in results:
+                results['gt_labels'] = results['gt_labels'][keep]
+            if 'gt_masks' in results:
+                masks = [m for m, k in zip(results['gt_masks'], keep) if k]
+                results['gt_masks'] = [
+                    _shift_segm(m, -x0, -y0) for m in masks]
+        return results
+
+
+def _shift_segm(segm, dx, dy):
+    if isinstance(segm, dict):
+        out = dict(segm)
+        sx, sy = out.get('_shift', (0.0, 0.0))
+        out['_shift'] = (sx + dx, sy + dy)
+        return out
+    return [p + np.array([dx, dy], np.float32) for p in segm]
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation/hue jitter (reference transforms.py:634).
+
+    Operates on the BGR uint8/float image before Normalize."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results: Dict) -> Dict:
+        import cv2
+        rng = results.setdefault('_rng', np.random.RandomState())
+        img = results['img'].astype(np.float32)
+        if rng.randint(2):
+            img += rng.uniform(-self.brightness_delta, self.brightness_delta)
+        contrast_last = rng.randint(2)
+        if not contrast_last and rng.randint(2):
+            img *= rng.uniform(*self.contrast_range)
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(*self.saturation_range)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-self.hue_delta,
+                                                     self.hue_delta)) % 180
+        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2BGR).astype(np.float32)
+        if contrast_last and rng.randint(2):
+            img *= rng.uniform(*self.contrast_range)
+        results['img'] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register_module()
+class Expand:
+    """Place the image on a larger mean-filled canvas (reference
+    transforms.py:740, SSD augmentation)."""
+
+    def __init__(self, mean=(0, 0, 0), to_rgb=True, ratio_range=(1, 4),
+                 prob=0.5):
+        self.mean = tuple(mean)
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, results: Dict) -> Dict:
+        rng = results.setdefault('_rng', np.random.RandomState())
+        if rng.rand() > self.prob:
+            return results
+        img = results['img']
+        h, w = img.shape[:2]
+        ratio = rng.uniform(*self.ratio_range)
+        eh, ew = int(h * ratio), int(w * ratio)
+        y0 = rng.randint(0, eh - h + 1)
+        x0 = rng.randint(0, ew - w + 1)
+        canvas = np.empty((eh, ew) + img.shape[2:], img.dtype)
+        canvas[...] = np.asarray(self.mean, img.dtype)
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape
+        if 'gt_bboxes' in results:
+            shift = np.array([x0, y0, x0, y0], np.float32)
+            for key in ('gt_bboxes', 'gt_bboxes_ignore'):
+                results[key] = results[key] + shift
+            if 'gt_masks' in results:
+                results['gt_masks'] = [_shift_segm(m, x0, y0)
+                                       for m in results['gt_masks']]
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """SSD-style IoU-constrained random crop (reference transforms.py:826)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3):
+        self.sample_modes = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+
+    def __call__(self, results: Dict) -> Dict:
+        from ..data.cocoeval import bbox_iou_xywh  # xywh iou helper
+        rng = results.setdefault('_rng', np.random.RandomState())
+        img = results['img']
+        h, w = img.shape[:2]
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        for _ in range(50):
+            mode = self.sample_modes[rng.randint(len(self.sample_modes))]
+            if mode == 1:
+                return results
+            new_w = rng.uniform(self.min_crop_size * w, w)
+            new_h = rng.uniform(self.min_crop_size * h, h)
+            if new_h / new_w < 0.5 or new_h / new_w > 2:
+                continue
+            left = rng.uniform(0, w - new_w)
+            top = rng.uniform(0, h - new_h)
+            patch = np.array([left, top, left + new_w, top + new_h])
+            if len(boxes):
+                cx = (boxes[:, 0] + boxes[:, 2]) / 2
+                cy = (boxes[:, 1] + boxes[:, 3]) / 2
+                center_in = (cx > patch[0]) & (cy > patch[1]) & \
+                    (cx < patch[2]) & (cy < patch[3])
+                if not center_in.any():
+                    continue
+                x1 = np.maximum(boxes[:, 0], patch[0])
+                y1 = np.maximum(boxes[:, 1], patch[1])
+                x2 = np.minimum(boxes[:, 2], patch[2])
+                y2 = np.minimum(boxes[:, 3], patch[3])
+                inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+                area = (boxes[:, 2] - boxes[:, 0]) * \
+                    (boxes[:, 3] - boxes[:, 1])
+                ious = inter / np.maximum(area, 1e-6)
+                if ious[center_in].min() < mode:
+                    continue
+                keep = center_in
+                new_boxes = boxes.copy()
+                new_boxes[:, 0::2] = np.clip(new_boxes[:, 0::2], patch[0],
+                                             patch[2]) - patch[0]
+                new_boxes[:, 1::2] = np.clip(new_boxes[:, 1::2], patch[1],
+                                             patch[3]) - patch[1]
+                results['gt_bboxes'] = new_boxes[keep]
+                if 'gt_labels' in results:
+                    results['gt_labels'] = results['gt_labels'][keep]
+                if 'gt_masks' in results:
+                    masks = [m for m, k in zip(results['gt_masks'], keep)
+                             if k]
+                    results['gt_masks'] = [
+                        _shift_segm(m, -patch[0], -patch[1]) for m in masks]
+            results['img'] = img[int(patch[1]):int(patch[3]),
+                                 int(patch[0]):int(patch[2])]
+            results['img_shape'] = results['img'].shape
+            return results
+        return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """Rescale semantic seg maps (reference transforms.py:596)."""
+
+    def __init__(self, scale_factor: float = 1.0):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results: Dict) -> Dict:
+        import cv2
+        if 'gt_semantic_seg' in results and self.scale_factor != 1:
+            seg = results['gt_semantic_seg']
+            results['gt_semantic_seg'] = cv2.resize(
+                seg, None, fx=self.scale_factor, fy=self.scale_factor,
+                interpolation=cv2.INTER_NEAREST)
+        return results
+
+
+@PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """Test-time augmentation wrapper (reference test_time_aug.py:10):
+    applies the inner pipeline once per (scale, flip) combo and returns a
+    LIST of results dicts."""
+
+    def __init__(self, transforms: Sequence[dict], img_scale, flip=False,
+                 flip_direction='horizontal'):
+        self.transforms = Compose(transforms)
+        scales = img_scale if isinstance(img_scale, list) else [img_scale]
+        self.img_scales = [tuple(s) for s in scales]
+        self.flip = flip
+
+    def __call__(self, results: Dict):
+        outs = []
+        for scale in self.img_scales:
+            for flip in ([False, True] if self.flip else [False]):
+                r = dict(results)
+                r['img'] = results['img'].copy()
+                r['_tta_scale'] = scale
+                r['_tta_flip'] = flip
+                r = Resize(img_scale=scale, keep_ratio=True)(r)
+                if flip:
+                    r['img'] = np.ascontiguousarray(r['img'][:, ::-1])
+                    r['flip'] = True
+                outs.append(self.transforms(r))
+        return outs
+
+
 class Compose:
     def __init__(self, transforms: Sequence):
         from ..utils.registry import PIPELINES as REG

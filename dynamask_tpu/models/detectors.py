@@ -131,6 +131,88 @@ class TwoStageDetector(nn.Module):
         return self.roi_head.simple_test(
             feats, proposals.boxes, proposals.valid, batch, rescale=rescale)
 
+    def aug_test(self, batches: Sequence[Dict[str, jnp.ndarray]],
+                 flips: Sequence[bool]):
+        """Multi-scale/flip test-time augmentation
+        (reference: roi_heads/test_mixins.py:aug_test_bboxes:73 + the
+        detector's forward_test routing). Proposals come from the first aug;
+        each aug scores the shared proposal set in its own frame; recovered
+        boxes/scores average before one final NMS; masks average after
+        flip-back."""
+        from ..core.merge_augs import (recover_boxes, to_aug_frame,
+                                       merge_aug_bboxes, merge_aug_masks)
+        from ..core.bbox_transforms import delta2bbox
+        rh = self.roi_head
+
+        # proposals from the first aug, in original-image coords
+        b0 = batches[0]
+        feats0 = self.extract_feat(b0['image'], train=False)
+        cls_scores, bbox_preds = self.rpn_head(feats0, train=False)
+        gen = self._anchor_generator()
+        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats0])
+        props = rpn_get_proposals(
+            cls_scores, bbox_preds, mlvl, b0['img_shape'],
+            nms_pre=self.rpn_nms_pre_test, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr, target_means=self.rpn_target_means,
+            target_stds=self.rpn_target_stds)
+        ori_props = jax.vmap(
+            lambda bx, sh, sc, f=flips[0]: recover_boxes(bx, sh, sc, f))(
+            props.boxes, b0['img_shape'], b0['scale_factor'])
+
+        bsz, p = ori_props.shape[:2]
+        aug_boxes, aug_scores = [], []
+        feats_list = [feats0]
+        for ai, (batch, flip) in enumerate(zip(batches, flips)):
+            feats = feats0 if ai == 0 else self.extract_feat(batch['image'],
+                                                             train=False)
+            if ai > 0:
+                feats_list.append(feats)
+            frame_props = jax.vmap(
+                lambda bx, sh, sc, f=flip: to_aug_frame(bx, sh, sc, f))(
+                ori_props, batch['img_shape'], batch['scale_factor'])
+            rois = frame_props.reshape(bsz * p, 4)
+            rb = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), p)
+            bf = rh._extract(feats, rois, rb, rh.bbox_roi_out)
+            cl, bd = rh.bbox_head(bf, train=False)
+            cl = cl.astype(jnp.float32)
+            bd = bd.astype(jnp.float32)
+            boxes = delta2bbox(rois, bd, rh.target_means, rh.target_stds)
+            boxes = boxes.reshape(bsz, p, -1, 4)
+            rec = jax.vmap(
+                lambda bx, sh, sc, f=flip: recover_boxes(bx, sh, sc, f))(
+                boxes.reshape(bsz, -1, 4), batch['img_shape'],
+                batch['scale_factor']).reshape(bsz, p, -1, 4)
+            aug_boxes.append(rec)
+            aug_scores.append(jax.nn.softmax(cl, -1).reshape(bsz, p, -1))
+
+        merged_boxes, merged_scores = merge_aug_bboxes(aug_boxes, aug_scores)
+        from ..ops.nms import multiclass_nms
+
+        def single(boxes, scores, valid):
+            flat = boxes.reshape(boxes.shape[0], -1)
+            return multiclass_nms(flat, scores[:, :rh.num_classes],
+                                  rh.score_thr, rh.nms_iou_thr,
+                                  rh.max_per_img, valid=valid)
+
+        dets, labels, det_valid = jax.vmap(single)(
+            merged_boxes, merged_scores, props.valid)
+        result = {'dets': dets, 'labels': labels, 'det_valid': det_valid}
+
+        if rh.mask_head is not None:
+            aug_masks = []
+            for feats, batch, flip in zip(feats_list, batches, flips):
+                # map merged dets into this aug's frame (scale then flip —
+                # bbox_mapping order), then run the mask branch as-is
+                aug_dets = jax.vmap(
+                    lambda bx, sh, sc, f=flip: to_aug_frame(bx, sh, sc, f))(
+                    dets[..., :4], batch['img_shape'], batch['scale_factor'])
+                probs = rh.simple_test_mask(
+                    feats, jnp.concatenate([aug_dets, dets[..., 4:]], -1),
+                    labels, batch, rescale=False)
+                aug_masks.append(probs)
+            result['mask_probs'] = merge_aug_masks(aug_masks, flips)
+        return result
+
     def forward_dummy(self, images: jnp.ndarray):
         """FLOPs-counting path (reference two_stage.py:87-103)."""
         feats = self.extract_feat(images, train=False)
