@@ -8,6 +8,13 @@ from .assigners import MaxIoUAssigner, AssignResult
 from .samplers import (RandomSampler, PseudoSampler, SamplingResult,
                        add_gt_as_proposals)
 from .boundary import generate_block_target, detail_target, interpolate_bilinear
+from .coders import (DeltaXYWHBBoxCoder, LegacyDeltaXYWHBBoxCoder,
+                     TBLRBBoxCoder, PseudoBBoxCoder)
+from .mean_ap import eval_map, eval_recalls, average_precision
+from .merge_augs import (recover_boxes, to_aug_frame, merge_aug_bboxes,
+                         merge_aug_masks, merge_aug_scores)
+from .fp16 import to_bf16, to_f32, cast_floating
+from .mask_targets import mask_targets_from_crops
 
 __all__ = [
     'bbox_overlaps', 'bbox2delta', 'delta2bbox', 'clip_boxes', 'bbox_flip',
@@ -16,4 +23,9 @@ __all__ = [
     'images_to_levels', 'MaxIoUAssigner', 'AssignResult', 'RandomSampler',
     'PseudoSampler', 'SamplingResult', 'add_gt_as_proposals',
     'generate_block_target', 'detail_target', 'interpolate_bilinear',
+    'DeltaXYWHBBoxCoder', 'LegacyDeltaXYWHBBoxCoder', 'TBLRBBoxCoder',
+    'PseudoBBoxCoder', 'eval_map', 'eval_recalls', 'average_precision',
+    'recover_boxes', 'to_aug_frame', 'merge_aug_bboxes', 'merge_aug_masks',
+    'merge_aug_scores', 'to_bf16', 'to_f32', 'cast_floating',
+    'mask_targets_from_crops',
 ]

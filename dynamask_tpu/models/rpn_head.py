@@ -137,7 +137,7 @@ def rpn_get_proposals(cls_scores: List[jnp.ndarray],
                       nms_thr: float = 0.7,
                       target_means=(0., 0., 0., 0.),
                       target_stds=(1., 1., 1., 1.),
-                      pre_top_k: int = 4096) -> Proposals:
+                      pre_top_k: int = 3072) -> Proposals:
     """Static-shape proposal generation (reference rpn_head.py:79-172):
     per-level sigmoid scores -> top ``nms_pre`` -> decode+clip -> joint
     level-aware NMS -> ``max_num`` slots."""
