@@ -43,7 +43,7 @@ class DCNPack(nn.Module):
     deform_groups: int = 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         offsets = nn.Conv(2 * self.deform_groups * k * k, (k, k),
                           padding=[(1, 1), (1, 1)],
@@ -52,9 +52,17 @@ class DCNPack(nn.Module):
                           name='conv_offset')(x)
         weights = self.param('weight', kaiming_normal_fan_out(),
                              (k, k, x.shape[-1], self.out_channels))
-        return deform_conv2d(x, offsets, weights, kernel_size=k,
-                             padding=(k - 1) // 2,
-                             deform_groups=self.deform_groups)
+        # remat + roi chunking only under training, where the sampling
+        # temporaries of 512 RoIs × 56² dominate HBM; inference (100 RoIs,
+        # no backward) runs unchunked
+        import functools
+        dcn = functools.partial(
+            deform_conv2d, kernel_size=k, padding=(k - 1) // 2,
+            deform_groups=self.deform_groups,
+            roi_chunk=64 if train else 0)
+        if train:
+            dcn = jax.checkpoint(dcn)
+        return dcn(x, offsets, weights)
 
 
 class SEBlock(nn.Module):
@@ -112,7 +120,7 @@ class SFMStage(nn.Module):
     def __call__(self, instance_feats: jnp.ndarray,
                  semantic_feat: jnp.ndarray,
                  rois: jnp.ndarray, roi_batch: jnp.ndarray,
-                 roi_labels: jnp.ndarray):
+                 roi_labels: jnp.ndarray, train: bool = False):
         # instance-wise semantic crop
         sem = nn.Conv(self.semantic_out_channel, (1, 1),
                       kernel_init=kaiming_normal_fan_out(),
@@ -137,7 +145,7 @@ class SFMStage(nn.Module):
                                 kernel_init=kaiming_normal_fan_out(),
                                 name='fuse_conv_0')(fused))
         fused = nn.relu(DCNPack(self.instance_in_channel, deform_groups=2,
-                                name='fuse_conv_1')(fused))
+                                name='fuse_conv_1')(fused, train))
         fused = nn.relu(nn.Conv(self.instance_out_channel - 2, (1, 1),
                                 kernel_init=kaiming_normal_fan_out(),
                                 name='fuse_transform_out')(fused))
@@ -206,7 +214,8 @@ class DynaMaskHead(nn.Module):
                 num_classes=self.stage_num_classes[idx],
                 semantic_scale=scale,
                 upsample=upsample,
-                name=f'stage_{idx}')(x, sem_feat, rois, roi_batch, roi_labels)
+                name=f'stage_{idx}')(x, sem_feat, rois, roi_batch,
+                                     roi_labels, train)
             stage_instance_preds.append(inst_p)
             stage_detail_preds.append(det_p)
 

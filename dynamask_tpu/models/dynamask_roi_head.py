@@ -140,8 +140,9 @@ class DynaMaskRoIHead(StandardRoIHead):
 
     def setup(self):
         # the MSM is built unconditionally by the reference BaseRoIHead
-        # (base_roi_head.py:53-58)
-        self.mask_predictor = MaskPre()
+        # (base_roi_head.py:53-58); remat'ed — its 56²×256 crop input
+        # otherwise sits in HBM for the backward
+        self.mask_predictor = nn.remat(MaskPre, static_argnums=(2,))()
         # trainable detail-target fuse kernel (cross_entropy_loss.py:371)
         self.detail_fuse_weights = self.param(
             'detail_fuse_weights',
@@ -158,24 +159,33 @@ class DynaMaskRoIHead(StandardRoIHead):
                                             train)
         crops = roi_align(feats[0], rois, roi_batch, self.msm_out_size,
                           1.0 / self.msm_stride)
-        msm = self.mask_predictor(crops, train=train)
+        msm = self.mask_predictor(crops, train)
         return out + (preds[-1], details[-1], msm)
 
     def _msm_labels(self, feats, rois, roi_batch, train: bool):
         """56×56 P2 crop (detached) -> MaskPre -> Gumbel one-hot
-        (reference dynamask_roi_head.py:59-60,84-114)."""
+        (reference dynamask_roi_head.py:59-60,84-114).
+
+        sampling_ratio=1: the 56² crop grid is already at/below P2's
+        resolution for typical RoIs, and ratio 2 materializes a 112² sample
+        grid per RoI (6 GB at train scale). Remat re-derives the crops in
+        the backward instead of storing them."""
         p2 = jax.lax.stop_gradient(feats[0])
-        crops = roi_align(p2, rois, roi_batch, self.msm_out_size,
-                          1.0 / self.msm_stride,
-                          sampling_ratio=self.roi_sampling_ratio)
-        logits = self.mask_predictor(crops, train=train)
+        import functools
+        crop_fn = jax.checkpoint(functools.partial(
+            roi_align, out_size=self.msm_out_size,
+            spatial_scale=1.0 / self.msm_stride, sampling_ratio=1))
+        crops = crop_fn(p2, rois, roi_batch)
+        logits = self.mask_predictor(crops, train)
         rng = self.make_rng('sampling')
         return gumbel_softmax(rng, logits, self.gumbel_temperature, hard=True)
 
     def _mask_forward(self, feats, rois, roi_batch, roi_labels, train: bool):
         ins_feats = self._extract(feats, rois, roi_batch, self.mask_roi_out)
+        # train passed positionally: it is a remat static arg (builder wraps
+        # the head in nn.remat)
         return self.mask_head(ins_feats, feats, rois, roi_batch, roi_labels,
-                              train=train)
+                              train)
 
     def _mask_forward_train(self, feats, sample, batch, train=True):
         pos_boxes, pos_valid, pos_labels, pos_gt, roi_batch = \
@@ -246,7 +256,10 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
     mhc = dict(cfg['mask_head'])
     assert mhc.pop('type') == 'DynaMaskHead'
     loss_cfg = dict(mhc.pop('loss_cfg', {}))
-    mask_head = DynaMaskHead(
+    # remat the whole cascade: its per-stage activations (hundreds of MB per
+    # stage at 512 RoIs x 56²) are recomputed in the backward pass
+    head_cls = nn.remat(DynaMaskHead, static_argnums=(6,))
+    mask_head = head_cls(
         num_convs_instance=mhc.get('num_convs_instance', 2),
         conv_out_channels_instance=mhc.get('conv_out_channels_instance', 256),
         conv_out_channels_semantic=mhc.get('conv_out_channels_semantic', 256),

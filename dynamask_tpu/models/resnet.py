@@ -136,6 +136,7 @@ class ResNet(nn.Module):
     stem_channels: int = 64
     deep_stem: bool = False       # ResNetV1d stem
     avg_down: bool = False        # accepted for config compat (not yet used)
+    block_remat: bool = True      # checkpoint each block (training memory)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -168,14 +169,17 @@ class ResNet(nn.Module):
 
         outs = []
         planes = 64
+        is_bottleneck = block_cls is Bottleneck
+        if self.block_remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         for stage_idx, num_blocks in enumerate(stage_blocks):
             stride = 1 if stage_idx == 0 else 2
             for block_idx in range(num_blocks):
                 first = block_idx == 0
-                if block_cls is Bottleneck:
+                if is_bottleneck:
                     # first block always projects (channel change), even at
                     # stride 1 in stage 1
-                    block = Bottleneck(
+                    block = block_cls(
                         planes=planes,
                         stride=stride if first else 1,
                         downsample=first,
@@ -186,14 +190,14 @@ class ResNet(nn.Module):
                         base_width=self.base_width,
                         name=f'layer{stage_idx + 1}_block{block_idx}')
                 else:
-                    block = BasicBlock(
+                    block = block_cls(
                         planes=planes,
                         stride=stride if first else 1,
                         downsample=first and stage_idx > 0,
                         norm_eval=self.norm_eval,
                         zero_init_residual=self.zero_init_residual,
                         name=f'layer{stage_idx + 1}_block{block_idx}')
-                x = block(x, train=train)
+                x = block(x, train)
             if stage_idx + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage_idx in self.out_indices:
