@@ -152,6 +152,72 @@ class LegacyAnchorGenerator(AnchorGenerator):
 
 
 @ANCHOR_GENERATORS.register_module()
+class SSDAnchorGenerator(AnchorGenerator):
+    """SSD anchors: per-level min/max sizes from an input-size ratio range,
+    sqrt(min·max) extra scale, ratio set {1, 1/r, r} (reference
+    anchor_generator.py:351-473)."""
+
+    def __init__(self, strides, ratios, basesize_ratio_range=(0.15, 0.9),
+                 input_size: int = 300, scale_major: bool = False):
+        self.strides = [(s, s) if isinstance(s, int) else tuple(s)
+                        for s in strides]
+        self.input_size = input_size
+        num_levels = len(self.strides)
+        min_ratio, max_ratio = basesize_ratio_range
+        min_ratio = int(min_ratio * 100)
+        max_ratio = int(max_ratio * 100)
+        step = int(np.floor(max_ratio - min_ratio) / (num_levels - 2))
+        min_sizes, max_sizes = [], []
+        for r in range(min_ratio, max_ratio + 1, step):
+            min_sizes.append(int(input_size * r / 100))
+            max_sizes.append(int(input_size * (r + step) / 100))
+        # first level special-cased per the reference (ratio range head)
+        if basesize_ratio_range[0] == 0.15:
+            min_sizes.insert(0, int(input_size * 7 / 100))
+            max_sizes.insert(0, int(input_size * 15 / 100))
+        else:
+            min_sizes.insert(0, int(input_size * 10 / 100))
+            max_sizes.insert(0, int(input_size * 20 / 100))
+        min_sizes = min_sizes[:num_levels]
+        max_sizes = max_sizes[:num_levels]
+
+        self.base_sizes = min_sizes
+        self.center_offset = 0.5
+        self.scale_major = scale_major
+        self.base_anchors = []
+        for lvl, (stride, ratio_list) in enumerate(zip(self.strides, ratios)):
+            scales = [1.0, np.sqrt(max_sizes[lvl] / min_sizes[lvl])]
+            full_ratios = [1.0]
+            for r in ratio_list:
+                full_ratios += [1.0 / r, r]
+            self.scales = np.asarray(scales, np.float32)
+            self.ratios = np.asarray(full_ratios, np.float32)
+            anchors = self._single_level_base_anchors(min_sizes[lvl], stride)
+            # SSD keeps: scale1/ratio1, scale_sqrt/ratio1, scale1/other ratios
+            a = anchors.reshape(len(full_ratios), len(scales), 4)
+            keep = [a[0, 0], a[0, 1]] + [a[i, 0]
+                                         for i in range(1, len(full_ratios))]
+            self.base_anchors.append(np.stack(keep))
+        # ratios per level differ; keep the last for repr only
+        self.ratios = np.asarray([1.0], np.float32)
+        self.scales = np.asarray([1.0], np.float32)
+
+    def _single_level_base_anchors(self, base_size, stride):
+        w = h = float(base_size)
+        x_center = 0.5 * stride[0]
+        y_center = 0.5 * stride[1]
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        # ratio-major (scale_major=False for SSD)
+        ws = (w * self.scales[None, :] * w_ratios[:, None]).reshape(-1)
+        hs = (h * self.scales[None, :] * h_ratios[:, None]).reshape(-1)
+        return np.stack([
+            x_center - 0.5 * ws, y_center - 0.5 * hs,
+            x_center + 0.5 * ws, y_center + 0.5 * hs,
+        ], axis=-1).astype(np.float32)
+
+
+@ANCHOR_GENERATORS.register_module()
 class PointGenerator:
     """Grid point generator for anchor-free heads (reference: point_generator.py)."""
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.registry import BBOX_ASSIGNERS
@@ -153,4 +154,87 @@ class MaxIoUAssigner:
         else:
             labels = jnp.full(boxes.shape[0], -1, jnp.int32)
 
+        return AssignResult(assigned, max_overlaps, labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ApproxMaxIoUAssigner(MaxIoUAssigner):
+    """Config-compat alias (reference assigners/approx_max_iou_assigner.py):
+    in the static pipeline the candidate set already carries its approxs, so
+    the assignment math is identical."""
+    pass
+
+
+@BBOX_ASSIGNERS.register_module()
+class ATSSAssigner:
+    """Adaptive training sample selection (reference assigners/
+    atss_assigner.py): per GT, take the ``topk`` closest anchor centers per
+    level as candidates; the positive IoU threshold is mean+std of the
+    candidates' IoUs; positives additionally need their center inside the GT.
+    """
+
+    def __init__(self, topk: int = 9, **kwargs):
+        self.topk = topk
+
+    def __call__(self, boxes, box_valid, gt_boxes, gt_valid, gt_labels=None,
+                 num_level_anchors=None, **kwargs) -> AssignResult:
+        num_gts = gt_boxes.shape[0]
+        n = boxes.shape[0]
+        box_valid = box_valid.astype(bool)
+        gt_valid = gt_valid.astype(bool)
+        if num_level_anchors is None:
+            num_level_anchors = (n,)
+
+        overlaps = bbox_overlaps(gt_boxes, boxes)  # (K, N)
+        overlaps = jnp.where(gt_valid[:, None] & box_valid[None, :],
+                             overlaps, 0.0)
+
+        acx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        acy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+        gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+        dist = jnp.sqrt((acx[None, :] - gcx[:, None]) ** 2 +
+                        (acy[None, :] - gcy[:, None]) ** 2)  # (K, N)
+        dist = jnp.where(box_valid[None, :], dist, jnp.inf)
+
+        # top-k closest per level per gt -> candidate mask (K, N)
+        candidate = jnp.zeros_like(dist, dtype=bool)
+        start = 0
+        for n_lvl in num_level_anchors:
+            k = min(self.topk, n_lvl)
+            lvl_dist = dist[:, start:start + n_lvl]
+            _, idx = jax.lax.top_k(-lvl_dist, k)          # (K, k)
+            lvl_mask = jnp.zeros_like(lvl_dist, dtype=bool)
+            lvl_mask = lvl_mask.at[
+                jnp.arange(num_gts)[:, None], idx].set(True)
+            candidate = candidate.at[:, start:start + n_lvl].set(lvl_mask)
+            start += n_lvl
+
+        cand_iou = jnp.where(candidate, overlaps, jnp.nan)
+        mean = jnp.nanmean(cand_iou, axis=1)
+        std = jnp.sqrt(jnp.nanmean(
+            (cand_iou - mean[:, None]) ** 2, axis=1))
+        thr = (mean + std)[:, None]
+
+        inside = ((acx[None, :] > gt_boxes[:, 0:1]) &
+                  (acx[None, :] < gt_boxes[:, 2:3]) &
+                  (acy[None, :] > gt_boxes[:, 1:2]) &
+                  (acy[None, :] < gt_boxes[:, 3:4]))
+        pos = candidate & (overlaps >= thr) & inside & gt_valid[:, None]
+
+        # each anchor takes the max-IoU gt among its claimants
+        claimed_iou = jnp.where(pos, overlaps, -1.0)
+        best_gt = jnp.argmax(claimed_iou, axis=0)
+        any_pos = jnp.max(claimed_iou, axis=0) > -1.0
+        assigned = jnp.where(any_pos, best_gt.astype(jnp.int32) + 1, 0)
+        assigned = jnp.where(box_valid, assigned, -1)
+
+        max_overlaps = jnp.max(jnp.where(gt_valid[:, None], overlaps, 0.0),
+                               axis=0)
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, num_gts - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe], -1
+                               ).astype(jnp.int32)
+        else:
+            labels = jnp.full(n, -1, jnp.int32)
         return AssignResult(assigned, max_overlaps, labels)
