@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Stage-by-stage inference timing on the current device (ablation profile).
+"""Stage-by-stage inference timing (cumulative pipeline prefixes).
 
-Times cumulative pipeline prefixes so each stage's marginal cost is visible:
-backbone+FPN -> +RPN proposals -> +bbox head/NMS -> +mask branch -> +paste.
+Measurement notes (learned the hard way on the axon TPU transport):
+  * time a SCALAR fetch (float(jnp.sum(out))) — block_until_ready on remote
+    array handles can return before execution completes;
+  * vary the inputs every iteration — identical (executable, args) pairs can
+    be served from a transport cache;
+  * the transport round-trip floor is ~30 ms; subtract the tiny-op baseline.
 """
 
 import os
@@ -17,106 +21,97 @@ import jax.numpy as jnp
 
 from __graft_entry__ import _build_flagship, _demo_batch
 from dynamask_tpu.ops.paste import paste_masks
+from dynamask_tpu.models.rpn_head import rpn_get_proposals
+from dynamask_tpu.models.bbox_head import bbox_head_get_dets
 
 
-def timeit(fn, variables, batch, iters=8):
-    """Blocked per-iteration timing with varying inputs (the axon relay
-    appears to cache identical (executable, args) executions)."""
-    def vary(b, i):
-        b = dict(b)
-        b['image'] = b['image'] + jnp.float32(i) * 1e-6
-        return b
-
-    out = fn(variables, vary(batch, 999))
-    jax.block_until_ready(out)
-    times = []
-    for i in range(iters):
-        b = vary(batch, i)
-        jax.block_until_ready(b['image'])
-        t0 = time.time()
-        out = fn(variables, b)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    times.sort()
-    return times[len(times) // 2]
+def S(x):
+    return sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(x)
+               if hasattr(v, 'sum'))
 
 
 def main():
-    det, cfg = _build_flagship()
+    det, _ = _build_flagship()
     h, w = 800, 1344
     batch = _demo_batch(jnp, 1, h, w, with_gt=False)
     shapes = jax.eval_shape(
         lambda: det.init({'params': jax.random.PRNGKey(0)},
                          _demo_batch(jnp, 1, h, w)))
     variables = jax.tree_util.tree_map(
-        lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+        lambda a: jnp.zeros(a.shape, a.dtype), shapes)
 
-    def feat_only(v, b):
-        return det.apply(v, b, method=lambda m, bb:
-                         m.extract_feat(bb['image']))
+    def feat_only(m, bb):
+        return S(m.extract_feat(bb['image']))
 
-    def plus_rpn(v, b):
-        def go(m, bb):
-            feats = m.extract_feat(bb['image'])
-            cls_scores, bbox_preds = m.rpn_head(feats)
-            from dynamask_tpu.models.rpn_head import rpn_get_proposals
-            gen = m._anchor_generator()
-            mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
-            return rpn_get_proposals(
-                cls_scores, bbox_preds, mlvl, bb['img_shape'],
-                nms_pre=m.rpn_nms_pre_test, max_num=m.rpn_max_num,
-                nms_thr=m.rpn_nms_thr)
-        return det.apply(v, b, method=go)
+    def plus_rpn(m, bb):
+        feats = m.extract_feat(bb['image'])
+        cls_scores, bbox_preds = m.rpn_head(feats)
+        gen = m._anchor_generator()
+        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
+        return S(rpn_get_proposals(
+            cls_scores, bbox_preds, mlvl, bb['img_shape'],
+            nms_pre=m.rpn_nms_pre_test, max_num=m.rpn_max_num,
+            nms_thr=m.rpn_nms_thr))
 
-    def plus_bbox(v, b):
-        def go(m, bb):
-            feats = m.extract_feat(bb['image'])
-            cls_scores, bbox_preds = m.rpn_head(feats)
-            from dynamask_tpu.models.rpn_head import rpn_get_proposals
-            gen = m._anchor_generator()
-            mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
-            props = rpn_get_proposals(
-                cls_scores, bbox_preds, mlvl, bb['img_shape'],
-                nms_pre=m.rpn_nms_pre_test, max_num=m.rpn_max_num,
-                nms_thr=m.rpn_nms_thr)
-            rh = m.roi_head
-            import jax.numpy as jnp
-            bsz, p = props.boxes.shape[:2]
-            rois = props.boxes.reshape(bsz * p, 4)
-            rb = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), p)
-            bf = rh._extract(feats, rois, rb, rh.bbox_roi_out)
-            cl, bd = rh.bbox_head(bf)
-            from dynamask_tpu.models.bbox_head import bbox_head_get_dets
-            return jax.vmap(lambda pr, pv, c, d, s, sc: bbox_head_get_dets(
+    def plus_bbox(m, bb):
+        feats = m.extract_feat(bb['image'])
+        cls_scores, bbox_preds = m.rpn_head(feats)
+        gen = m._anchor_generator()
+        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
+        props = rpn_get_proposals(
+            cls_scores, bbox_preds, mlvl, bb['img_shape'],
+            nms_pre=m.rpn_nms_pre_test, max_num=m.rpn_max_num,
+            nms_thr=m.rpn_nms_thr)
+        rh = m.roi_head
+        bsz, p = props.boxes.shape[:2]
+        rois = props.boxes.reshape(bsz * p, 4)
+        rb = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), p)
+        bf = rh._extract(feats, rois, rb, rh.bbox_roi_out)
+        cl, bd = rh.bbox_head(bf)
+        dets, labels, valid = jax.vmap(
+            lambda pr, pv, c, d, s, sc: bbox_head_get_dets(
                 pr, c, d, pv, s, sc, rh.num_classes, rh.target_means,
                 rh.target_stds, rh.score_thr, rh.nms_iou_thr,
                 rh.max_per_img))(
-                props.boxes, props.valid, cl.reshape(bsz, p, -1),
-                bd.reshape(bsz, p, -1), bb['img_shape'], bb['scale_factor'])
-        return det.apply(v, b, method=go)
+            props.boxes, props.valid, cl.reshape(bsz, p, -1),
+            bd.reshape(bsz, p, -1), bb['img_shape'], bb['scale_factor'])
+        return S((dets, labels))
 
-    def full(v, b):
-        return det.apply(v, b, method='simple_test')
+    def full(m, bb):
+        return S(m.simple_test(bb)['mask_probs'])
 
-    def full_paste(v, b):
-        out = det.apply(v, b, method='simple_test')
+    def full_paste(m, bb):
+        out = m.simple_test(bb)
         bs, d = out['dets'].shape[:2]
         probs = out['mask_probs']
         pasted = paste_masks(probs.reshape(bs * d, *probs.shape[2:]),
                              out['dets'][..., :4].reshape(bs * d, 4),
                              640, 640)
-        return pasted >= 0.5
+        return S(pasted >= 0.5)
 
-    stages = [('backbone+fpn', feat_only), ('+rpn_proposals', plus_rpn),
-              ('+bbox+nms', plus_bbox), ('+mask_cascade(full)', full),
-              ('+paste640', full_paste)]
+    def timeit(f, iters=5):
+        float(f(variables, batch))
+        ts = []
+        for i in range(iters):
+            b = dict(batch)
+            b['image'] = batch['image'] + jnp.float32(i) * 1e-6
+            jax.block_until_ready(b['image'])
+            t0 = time.time()
+            float(f(variables, b))
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    baseline = timeit(jax.jit(lambda v, b: jnp.sum(b['image'][0, 0, 0])))
+    print(f'transport floor: {baseline * 1e3:.1f} ms')
     prev = 0.0
-    for name, fn in stages:
-        f = jax.jit(fn)
-        t0 = time.time()
-        dt = timeit(f, variables, batch)
-        print(f'{name:24s} total {dt * 1e3:8.2f} ms   marginal '
-              f'{(dt - prev) * 1e3:8.2f} ms   (compile {time.time() - t0:.0f}s)')
+    for name, go in [('backbone+fpn', feat_only), ('+rpn_props', plus_rpn),
+                     ('+bbox+nms', plus_bbox), ('+mask_cascade', full),
+                     ('+paste640', full_paste)]:
+        f = jax.jit(lambda v, b, go=go: det.apply(v, b, method=go))
+        dt = timeit(f)
+        print(f'{name:16s} total {dt * 1e3:8.1f} ms   '
+              f'marginal {(dt - prev) * 1e3:8.1f} ms')
         prev = dt
 
 
