@@ -31,7 +31,18 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_flagship, _demo_batch, _zeros_like_tree
 
-    det, _ = _build_flagship()
+    dynamic = os.environ.get('BENCH_DYNAMIC', '1') == '1'
+    if dynamic:
+        # north-star speed mode: MSM-routed bucketed dynamic resolution
+        from dynamask_tpu.utils.config import Config
+        from dynamask_tpu.models import build_detector
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            'configs/dynamask/coco/r50_dynamask_1x.py'))
+        cfg.model.roi_head['dynamic_inference'] = True
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+    else:
+        det, _ = _build_flagship()
     h, w = 800, 1344
     batch = _demo_batch(jnp, 1, h, w, with_gt=False)
 
@@ -86,8 +97,10 @@ def main():
     dt = time.time() - t0
     fps = iters / dt
 
+    mode = ('MSM-routed bucketed' if dynamic else 'full cascade')
     print(json.dumps({
-        'metric': 'dynamask_r50_fpn COCO 800x1344 inference img/s/chip',
+        'metric': f'dynamask_r50_fpn COCO 800x1344 inference img/s/chip '
+                  f'({mode}, bf16)',
         'value': round(fps, 3),
         'unit': 'img/s',
         'vs_baseline': round(fps / BASELINE_FPS, 3),

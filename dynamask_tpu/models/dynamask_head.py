@@ -174,13 +174,18 @@ class DynaMaskHead(nn.Module):
     def __call__(self, instance_feats: jnp.ndarray,
                  semantic_feats: Sequence[jnp.ndarray],
                  rois: jnp.ndarray, roi_batch: jnp.ndarray,
-                 roi_labels: jnp.ndarray, train: bool = False):
+                 roi_labels: jnp.ndarray, train: bool = False,
+                 stage_max_rois: Optional[Tuple[int, ...]] = None):
         """Args:
             instance_feats: (R, 14, 14, 256) RoI features.
             semantic_feats: the FPN tuple (P2..P6) — stage idx uses
                 ``semantic_feats[-idx-3]`` (P4/P3/P2; dynamask_head.py:228).
             rois: (R, 4) in image coords; roi_batch: (R,).
             roi_labels: (R,) class per RoI.
+            stage_max_rois: optional static per-stage RoI capacities (the
+                north-star bucketed dynamic routing): the caller passes RoIs
+                SORTED by routing need (finest-first) and each stage runs on
+                a static prefix slice — dense bucketed compute, no gathers.
         Returns:
             (stage_instance_preds, stage_detail_preds): lists of (R, s, s, 1)
             logits at s ∈ stage_sup_size.
@@ -197,9 +202,16 @@ class DynaMaskHead(nn.Module):
         stage_instance_preds: List[jnp.ndarray] = []
         stage_detail_preds: List[jnp.ndarray] = []
         out_channel = self.conv_out_channels_instance
+        cur_rois, cur_batch, cur_labels = rois, roi_batch, roi_labels
         for idx in range(num_stages):
             in_channel = out_channel
             out_channel = in_channel // 2
+            if stage_max_rois is not None:
+                k = min(stage_max_rois[idx], x.shape[0])
+                x = x[:k]
+                cur_rois = cur_rois[:k]
+                cur_batch = cur_batch[:k]
+                cur_labels = cur_labels[:k]
             if self.faithful_stride_quirk:
                 scale = 1.0 / self.semantic_out_stride[-1]
             else:
@@ -214,15 +226,19 @@ class DynaMaskHead(nn.Module):
                 num_classes=self.stage_num_classes[idx],
                 semantic_scale=scale,
                 upsample=upsample,
-                name=f'stage_{idx}')(x, sem_feat, rois, roi_batch,
-                                     roi_labels, train)
+                name=f'stage_{idx}')(x, sem_feat, cur_rois, cur_batch,
+                                     cur_labels, train)
             stage_instance_preds.append(inst_p)
             stage_detail_preds.append(det_p)
 
         # class-agnostic final stage when stage_num_classes[-1] == 1
         # (LVIS & the shipped COCO config; dynamask_head.py:233-234)
-        final_labels = (jnp.zeros_like(roi_labels)
-                        if self.stage_num_classes[-1] == 1 else roi_labels)
+        if stage_max_rois is not None:
+            k = min(stage_max_rois[-1], x.shape[0])
+            x = x[:k]
+            cur_labels = cur_labels[:k]
+        final_labels = (jnp.zeros_like(cur_labels)
+                        if self.stage_num_classes[-1] == 1 else cur_labels)
         final_inst = nn.Conv(self.stage_num_classes[-1], (1, 1),
                              kernel_init=kaiming_normal_fan_out(),
                              name='final_instance_logits')(x)

@@ -137,6 +137,14 @@ class DynaMaskRoIHead(StandardRoIHead):
     gumbel_temperature: float = 0.5
     # inference-time boundary fusion uses width-1 block targets
     test_boundary_width: int = 1
+    # The north-star speed mode (BASELINE.json): MSM-routed per-RoI dynamic
+    # resolution at test time, recast as resolution-bucketed dense compute.
+    # The faithful default (False) runs the full cascade for every RoI, which
+    # is the reference's ACTIVE code path (its routed variant is commented
+    # out, dynamask_roi_head.py:160-204). dynamic_capacity gives the static
+    # fractions of RoIs admitted to the 56- and 112-resolution stages.
+    dynamic_inference: bool = False
+    dynamic_capacity: Tuple[float, float] = (0.5, 0.25)
 
     def setup(self):
         # the MSM is built unconditionally by the reference BaseRoIHead
@@ -180,12 +188,13 @@ class DynaMaskRoIHead(StandardRoIHead):
         rng = self.make_rng('sampling')
         return gumbel_softmax(rng, logits, self.gumbel_temperature, hard=True)
 
-    def _mask_forward(self, feats, rois, roi_batch, roi_labels, train: bool):
+    def _mask_forward(self, feats, rois, roi_batch, roi_labels, train: bool,
+                      stage_max_rois=None):
         ins_feats = self._extract(feats, rois, roi_batch, self.mask_roi_out)
-        # train passed positionally: it is a remat static arg (builder wraps
-        # the head in nn.remat)
+        # train/stage_max_rois passed positionally: remat static args
+        # (builder wraps the head in nn.remat)
         return self.mask_head(ins_feats, feats, rois, roi_batch, roi_labels,
-                              train)
+                              train, stage_max_rois)
 
     def _mask_forward_train(self, feats, sample, batch, train=True):
         pos_boxes, pos_valid, pos_labels, pos_gt, roi_batch = \
@@ -214,10 +223,72 @@ class DynaMaskRoIHead(StandardRoIHead):
 
     # ------------------------------------------------------------------ test
 
+    def _fuse_pair(self, cur, nxt):
+        """Boundary-aware stage fusion: outside the coarser prediction's
+        boundary band, the coarser logits overwrite the finer ones."""
+        s = nxt.shape[-1]
+        binary = jax.nn.sigmoid(cur) >= 0.5
+        nb = generate_block_target(binary.astype(jnp.float32),
+                                   boundary_width=self.test_boundary_width) != 1
+        nb_up = interpolate_bilinear(nb.astype(jnp.float32)[:, None], s, s,
+                                     align_corners=True)[:, 0] >= 0.5
+        cur_up = interpolate_bilinear(cur[:, None], s, s,
+                                      align_corners=True)[:, 0]
+        return jnp.where(nb_up, cur_up, nxt)
+
+    def _dynamic_test_mask(self, feats, dets, labels, batch, rescale):
+        """MSM-routed bucketed inference (the north-star dense recast): rank
+        RoIs by the switch module's resolution decision, admit static
+        fractions to the 56/112 stages, upsample the rest from their final
+        resolution."""
+        b, d = dets.shape[:2]
+        n = b * d
+        boxes = dets[..., :4]
+        if rescale:
+            boxes = boxes * batch['scale_factor'][:, None, :]
+        rois = boxes.reshape(n, 4)
+        roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        flat_labels = labels.reshape(n)
+
+        # routing decision (no Gumbel noise at test: plain argmax)
+        p2 = feats[0]
+        crops = roi_align(p2, rois, roi_batch, self.msm_out_size,
+                          1.0 / self.msm_stride, sampling_ratio=1)
+        route_logits = self.mask_predictor(crops, False)
+        need = jnp.argmax(route_logits, -1)              # 0..3, 3 = finest
+        order = jnp.argsort(-need, stable=True)
+        inv_order = jnp.argsort(order)
+
+        k2 = max(1, int(round(n * self.dynamic_capacity[0])))
+        k3 = max(1, min(k2, int(round(n * self.dynamic_capacity[1]))))
+        caps = (n, n, k2, k3)
+
+        stage_preds, _ = self._mask_forward(
+            feats, rois[order], roi_batch[order], flat_labels[order], False,
+            caps)
+        p1 = stage_preds[1][..., 0]    # (n, 28, 28)
+        p2s = stage_preds[2][..., 0]   # (k2, 56, 56)
+        p3s = stage_preds[3][..., 0]   # (k3, 112, 112)
+
+        # bucketed boundary fusion, then lift everything to 112
+        fused56 = self._fuse_pair(p1[:k2], p2s)
+        fused112 = self._fuse_pair(fused56[:k3], p3s)
+        final = interpolate_bilinear(p1[:, None], 112, 112,
+                                     align_corners=True)[:, 0]
+        final = final.at[:k2].set(
+            interpolate_bilinear(fused56[:, None], 112, 112,
+                                 align_corners=True)[:, 0])
+        final = final.at[:k3].set(fused112)
+        probs = jax.nn.sigmoid(final)[inv_order]
+        return probs.reshape(b, d, 112, 112)
+
     def simple_test_mask(self, feats, dets, labels, batch, rescale=True):
         """Full cascade + boundary-aware fusion; returns (B, D, 112, 112)
         final-resolution mask probabilities
         (reference dynamask_roi_head.py:117-158)."""
+        if self.dynamic_inference:
+            return self._dynamic_test_mask(feats, dets, labels, batch,
+                                           rescale)
         b, d = dets.shape[:2]
         boxes = dets[..., :4]
         if rescale:
@@ -258,7 +329,7 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
     loss_cfg = dict(mhc.pop('loss_cfg', {}))
     # remat the whole cascade: its per-stage activations (hundreds of MB per
     # stage at 512 RoIs x 56²) are recomputed in the backward pass
-    head_cls = nn.remat(DynaMaskHead, static_argnums=(6,))
+    head_cls = nn.remat(DynaMaskHead, static_argnums=(6, 7))
     mask_head = head_cls(
         num_convs_instance=mhc.get('num_convs_instance', 2),
         conv_out_channels_instance=mhc.get('conv_out_channels_instance', 256),
@@ -277,4 +348,6 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
         start_stage=loss_cfg.get('start_stage', 4),
         flops_cost=tuple(rcnn_train.get('flops', (0.23, 0.62, 1.01, 1.4))),
         flops_lambda=rcnn_train.get('Lambda', 0.3),
+        dynamic_inference=cfg.get('dynamic_inference', False),
+        dynamic_capacity=tuple(cfg.get('dynamic_capacity', (0.5, 0.25))),
         **common)
