@@ -130,7 +130,7 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
         max_per_img=rcnn_test.get('max_per_img', 100),
     )
 
-    if t == 'StandardRoIHead':
+    if t in ('StandardRoIHead', 'MaskScoringRoIHead'):
         mask_head = None
         if cfg.get('mask_head'):
             mhc = _cfg(cfg['mask_head'])
@@ -144,6 +144,14 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                 class_agnostic=mhc.get('class_agnostic', False))
             common['loss_mask_weight'] = _cfg(
                 mhc.get('loss_mask')).get('loss_weight', 1.0)
+        if t == 'MaskScoringRoIHead':
+            from .mask_scoring import MaskScoringRoIHead
+            iou_cfg = _cfg(cfg.get('mask_iou_head'))
+            return MaskScoringRoIHead(
+                mask_head=mask_head,
+                loss_iou_weight=_cfg(iou_cfg.get('loss_iou')).get(
+                    'loss_weight', 0.5),
+                **common)
         return StandardRoIHead(mask_head=mask_head, **common)
     if t == 'DynaMaskRoIHead':
         from .dynamask_roi_head import build_dynamask_roi_head
@@ -329,7 +337,8 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                     max_per_img=tc.get('max_per_img', 100))
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector,
-               'CascadeRCNN': TwoStageDetector}.get(t)
+               'CascadeRCNN': TwoStageDetector,
+               'MaskScoringRCNN': TwoStageDetector}.get(t)
     if det_cls is None:
         raise KeyError(f'unsupported detector {t}')
 
