@@ -69,15 +69,25 @@ def init_detector(config: Union[str, Config],
 
     classes = None
     if checkpoint is not None:
-        from ..engine.checkpoint import load_params_only, load_checkpoint
-        import json
-        params, bs = load_params_only(checkpoint, variables['params'])
-        variables = {'params': params,
-                     'batch_stats': bs or variables.get('batch_stats', {})}
-        meta_path = checkpoint + '.meta.json'
-        if osp.isfile(meta_path):
-            with open(meta_path) as f:
-                classes = json.load(f).get('CLASSES')
+        if checkpoint.endswith(('.pth', '.pt')):
+            # a torch (mmdet/torchvision) checkpoint: convert on the fly
+            from ..engine.pretrained import apply_pretrained
+            variables = apply_pretrained(variables, checkpoint)
+        else:
+            from ..engine.checkpoint import load_params_only, load_checkpoint
+            import json
+            params, bs = load_params_only(checkpoint, variables['params'])
+            variables = {'params': params,
+                         'batch_stats': bs or variables.get('batch_stats',
+                                                            {})}
+            meta_path = checkpoint + '.meta.json'
+            if osp.isfile(meta_path):
+                with open(meta_path) as f:
+                    classes = json.load(f).get('CLASSES')
+    elif (config.model or {}).get('pretrained'):
+        from ..engine.pretrained import apply_pretrained
+        variables = apply_pretrained(variables,
+                                     config.model.get('pretrained'))
     if classes is None:
         from ..data.coco import COCO_CLASSES
         classes = COCO_CLASSES

@@ -51,14 +51,31 @@ def make_test_fn(det, variables, mask_canvas: Tuple[int, int],
     return fn
 
 
+def dataset_mask_canvas(dataset, multiple: int = 32) -> Tuple[int, int]:
+    """Smallest canvas covering every image's original shape, rounded up to
+    ``multiple``. Using a fixed (640, 640) would silently truncate datasets
+    with larger images (Cityscapes is 1024x2048)."""
+    infos = getattr(dataset, 'img_infos', None)
+    if infos is None and hasattr(dataset, 'dataset'):  # wrappers
+        infos = getattr(dataset.dataset, 'img_infos', None)
+    if not infos:
+        return (640, 640)
+    max_h = max(int(i['height']) for i in infos)
+    max_w = max(int(i['width']) for i in infos)
+    rnd = lambda v: int(-(-v // multiple) * multiple)  # noqa: E731
+    return (rnd(max_h), rnd(max_w))
+
+
 def single_device_test(det, variables, dataset, samples_per_gpu: int = 1,
-                       mask_canvas: Tuple[int, int] = (640, 640),
+                       mask_canvas: Optional[Tuple[int, int]] = None,
                        mask_thr: float = 0.5,
                        max_images: Optional[int] = None,
                        progress: bool = True) -> List[Dict]:
     """Run the test loop, returning per-image result dicts for
     ``dataset.evaluate`` (reference single_gpu_test)."""
     from ..data import build_dataloader
+    if mask_canvas is None:
+        mask_canvas = dataset_mask_canvas(dataset)
     loader = build_dataloader(dataset, samples_per_gpu=samples_per_gpu,
                               workers_per_gpu=4, shuffle=False,
                               drop_last=False)
@@ -85,6 +102,75 @@ def single_device_test(det, variables, dataset, samples_per_gpu: int = 1,
                 'labels': out['labels'][i],
                 'valid': valid,
                 'masks': masks,
+            })
+            n_done += 1
+        if progress and n_done % 50 == 0:
+            fps = n_done / max(time.time() - t0, 1e-6)
+            print(f'\r{n_done} imgs, {fps:.1f} img/s', end='', flush=True)
+        if max_images is not None and n_done >= max_images:
+            break
+    if progress:
+        print()
+    return results
+
+
+def multi_device_test(det, variables, dataset, samples_per_device: int = 1,
+                      mask_canvas: Optional[Tuple[int, int]] = None,
+                      mask_thr: float = 0.5,
+                      max_images: Optional[int] = None,
+                      devices=None, progress: bool = False) -> List[Dict]:
+    """Data-parallel eval over a device mesh (reference multi_gpu_test,
+    mmdet/apis/test.py:66-114): the batch dim is sharded over the mesh, the
+    padded per-image outputs are gathered host-side — the single-controller
+    equivalent of collect_results_cpu/gpu (apis/test.py:117-189).
+
+    Results are ordered identically to ``single_device_test`` so the two
+    produce byte-identical evaluation inputs.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..data import build_dataloader
+    from ..engine import data_parallel_mesh
+
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    mesh = data_parallel_mesh(devices)
+    shard = NamedSharding(mesh, P('data'))
+
+    if mask_canvas is None:
+        mask_canvas = dataset_mask_canvas(dataset)
+    # global batch divisible by the mesh; loader pads ragged tails by
+    # wrapping (drop_last=False), extras are cut by the img_id bookkeeping
+    global_bs = samples_per_device * n_dev
+    loader = build_dataloader(dataset, samples_per_gpu=global_bs,
+                              workers_per_gpu=4, shuffle=False,
+                              drop_last=False)
+    fn = make_test_fn(det, variables, mask_canvas, mask_thr)
+
+    results = []
+    seen = set()
+    n_done = 0
+    t0 = time.time()
+    for batch_np in loader:
+        img_ids = batch_np.pop('img_id')
+        batch = {k: jax.device_put(jnp.asarray(v), shard)
+                 for k, v in batch_np.items()}
+        out = jax.device_get(fn(batch))
+        b = out['dets'].shape[0]
+        for i in range(b):
+            iid = int(img_ids[i])
+            if iid in seen:  # wrap-around padding from the sampler
+                continue
+            if max_images is not None and n_done >= max_images:
+                break
+            seen.add(iid)
+            ori_h, ori_w = batch_np['ori_shape'][i].astype(int)
+            results.append({
+                'img_id': iid,
+                'dets': out['dets'][i],
+                'labels': out['labels'][i],
+                'valid': out['valid'][i].astype(bool),
+                'masks': [out['masks'][i, d, :ori_h, :ori_w]
+                          for d in range(out['masks'].shape[1])],
             })
             n_done += 1
         if progress and n_done % 50 == 0:

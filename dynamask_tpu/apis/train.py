@@ -21,9 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import (build_optimizer, step_lr_schedule, create_train_state,
-                      make_train_step, data_parallel_mesh)
+                      make_train_step, data_parallel_mesh,
+                      jit_train_step_sharded)
 from ..engine.checkpoint import save_checkpoint, load_checkpoint, \
     load_params_only
+from ..engine.pretrained import apply_pretrained
 from ..data import build_dataset, build_dataloader
 from ..models import build_detector
 
@@ -57,13 +59,25 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                    resume_from: Optional[str] = None,
                    load_from: Optional[str] = None,
                    seed: int = 0,
-                   max_steps_per_epoch: Optional[int] = None) -> Any:
-    """Full training per the config recipe. Returns the final TrainState."""
+                   max_steps_per_epoch: Optional[int] = None,
+                   devices=None) -> Any:
+    """Full training per the config recipe. Returns the final TrainState.
+
+    The train step is sharded over all local devices (data parallelism:
+    batch split on the leading dim, state replicated, gradient psum inserted
+    by XLA — the reference's DDP, mmdet/apis/train.py:71-79). The global
+    batch is ``samples_per_gpu * n_devices``, matching the reference's
+    per-GPU batch semantics.
+    """
     work_dir = work_dir or cfg.get('work_dir') or './work_dirs/default'
     os.makedirs(work_dir, exist_ok=True)
     timestamp = time.strftime('%Y%m%d_%H%M%S')
     logger = get_root_logger(osp.join(work_dir, f'{timestamp}.log'))
     json_log = open(osp.join(work_dir, f'{timestamp}.log.json'), 'a')
+
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    logger.info(f'devices: {n_dev} x {devices[0].platform}')
 
     dataset = build_dataset(dict(cfg.data['train']),
                             default_args=dict(
@@ -71,7 +85,8 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                                 mask_crop_size=cfg.data.get('mask_crop_size',
                                                             128)))
     loader = build_dataloader(dataset,
-                              samples_per_gpu=cfg.data['samples_per_gpu'],
+                              samples_per_gpu=(cfg.data['samples_per_gpu'] *
+                                               n_dev),
                               workers_per_gpu=cfg.data.get('workers_per_gpu',
                                                            4),
                               seed=seed)
@@ -90,6 +105,10 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     num_params = sum(int(np.prod(x.shape)) for x in
                      jax.tree_util.tree_leaves(variables['params']))
     logger.info(f'model built: {num_params / 1e6:.2f}M params')
+
+    pretrained = (cfg.model or {}).get('pretrained')
+    if pretrained and not (resume_from or load_from):
+        variables = apply_pretrained(variables, pretrained, logger)
 
     opt_cfg = cfg.optimizer
     lr_cfg = cfg.get('lr_config', {})
@@ -121,11 +140,16 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                                batch_stats=bs or state.batch_stats)
         logger.info(f'loaded weights from {load_from}')
 
-    step_fn = jax.jit(make_train_step(det, tx), donate_argnums=(0,))
+    # mesh-sharded train step: batch on 'data', state replicated
+    mesh = data_parallel_mesh(devices)
+    step_fn, place = jit_train_step_sharded(det, tx, mesh)
+    state, _, _ = place(state, batch0, train_rng)
 
     total_epochs = cfg.get('total_epochs', 12)
     log_interval = cfg.get('log_config', {}).get('interval', 50)
     ckpt_interval = cfg.get('checkpoint_config', {}).get('interval', 1)
+    eval_cfg = cfg.get('evaluation') or {}
+    eval_interval = eval_cfg.get('interval', 0)
 
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
@@ -137,6 +161,7 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                      if k != 'img_id'}
             step_rng = jax.random.fold_in(train_rng,
                                           int(epoch * 10 ** 6 + it))
+            _, batch, step_rng = place(state, batch, step_rng)
             state, log = step_fn(state, batch, step_rng)
             if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
                 log = {k: float(v) for k, v in
@@ -159,5 +184,35 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                 meta={'CLASSES': list(getattr(dataset, 'CLASSES', [])),
                       'config': cfg.dump() if hasattr(cfg, 'dump') else ''})
             logger.info(f'checkpoint saved: {path}')
+        if eval_interval and (epoch + 1) % eval_interval == 0:
+            # EvalHook equivalent (reference core/evaluation/eval_hooks.py:
+            # 7-80): run the val split + dataset.evaluate at epoch end and
+            # log the metrics into the json log.
+            try:
+                metrics = _run_validation(cfg, det, state, eval_cfg, logger)
+                json_log.write(json.dumps(
+                    {'mode': 'val', 'epoch': epoch + 1, **metrics}) + '\n')
+                json_log.flush()
+            except Exception as e:  # eval must never kill training
+                logger.warning(f'validation failed: {e}')
     json_log.close()
     return state
+
+
+def _run_validation(cfg, det, state, eval_cfg, logger) -> Dict[str, float]:
+    """Run the val dataloader through simple_test + dataset.evaluate."""
+    from .test import single_device_test
+    val_cfg = dict(cfg.data.get('val') or cfg.data.get('test'))
+    dataset = build_dataset(val_cfg, default_args=dict(test_mode=True))
+    variables = {'params': jax.device_get(state.params),
+                 'batch_stats': jax.device_get(state.batch_stats)}
+    results = single_device_test(
+        det, variables, dataset,
+        max_images=eval_cfg.get('max_images'), progress=False)
+    metric = eval_cfg.get('metric', ['bbox', 'segm'])
+    if isinstance(metric, str):
+        metric = [metric]
+    metrics = dataset.evaluate(results, metric=metric)
+    msg = ', '.join(f'{k}: {v:.4f}' for k, v in metrics.items())
+    logger.info(f'validation: {msg}')
+    return {k: float(v) for k, v in metrics.items()}

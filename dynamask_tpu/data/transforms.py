@@ -94,15 +94,18 @@ class Resize:
         if self.keep_ratio:
             max_long, max_short = max(scale), min(scale)
             factor = min(max_long / max(h, w), max_short / min(h, w))
-        else:
-            factor = None
-        if factor is not None:
             new_w = int(w * factor + 0.5)
             new_h = int(h * factor + 0.5)
+        else:
+            # exact-size resize (reference Resize keep_ratio=False,
+            # mmdet/datasets/pipelines/transforms.py:25 — SSD-style):
+            # scale is (w, h) in mmcv convention for fixed resize.
+            new_w, new_h = max(scale), min(scale)
+        if (new_w, new_h) != (w, h):
             img = cv2.resize(img, (new_w, new_h),
                              interpolation=cv2.INTER_LINEAR)
-            w_scale = new_w / w
-            h_scale = new_h / h
+        w_scale = new_w / w
+        h_scale = new_h / h
         results['img'] = img
         results['img_shape'] = img.shape
         results['scale_factor'] = np.array(

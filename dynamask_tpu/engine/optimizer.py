@@ -88,12 +88,20 @@ def build_optimizer(params,
     tx = optax.chain(*chain)
 
     if frozen_backbone_prefixes:
-        def decide(path, _) -> bool:
+        def decide(path, _) -> str:
+            # Only the module DIRECTLY under 'backbone' is matched against
+            # the frozen prefixes: block-internal names ('conv1' inside
+            # layer2_block0) must NOT match the stem's 'conv1' prefix.
             keys = [str(getattr(p, 'key', p)) for p in path]
-            if keys and keys[0] == 'backbone':
-                return not any(k.startswith(pref) for k in keys[1:]
-                               for pref in frozen_backbone_prefixes)
-            return True
-        mask = jax.tree_util.tree_map_with_path(decide, params)
-        tx = optax.masked(tx, mask)
+            if len(keys) >= 2 and keys[0] == 'backbone' and any(
+                    keys[1].startswith(pref)
+                    for pref in frozen_backbone_prefixes):
+                return 'frozen'
+            return 'train'
+        labels = jax.tree_util.tree_map_with_path(decide, params)
+        # multi_transform (NOT optax.masked: masked passes untransformed
+        # updates through unchanged, which would apply raw gradients to the
+        # "frozen" leaves). set_to_zero is torch requires_grad=False.
+        tx = optax.multi_transform({'train': tx,
+                                    'frozen': optax.set_to_zero()}, labels)
     return tx

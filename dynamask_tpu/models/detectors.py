@@ -84,7 +84,14 @@ class TwoStageDetector(nn.Module):
         featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
         mlvl_anchors = gen.grid_anchors(featmap_sizes)
         anchors = jnp.concatenate(mlvl_anchors, axis=0)
-        anchor_valid = jnp.ones(anchors.shape[0], bool)
+        # Per-image anchor validity from the un-padded image extent: anchors
+        # centered over the static-canvas zero padding must not enter RPN
+        # assignment/sampling (reference AnchorGenerator.valid_flags used by
+        # anchor_head.py:_get_targets_single).
+        anchor_valid = jax.vmap(
+            lambda sh: jnp.concatenate(
+                gen.valid_flags(featmap_sizes, sh), axis=0))(
+            batch['img_shape'])
 
         losses = rpn_loss(
             cls_scores, bbox_preds, anchors, anchor_valid,

@@ -90,12 +90,20 @@ def rpn_loss(cls_scores: List[jnp.ndarray],
              loss_bbox_weight: float = 1.0):
     """RPN losses with the reference's normalization: per-element losses over
     sampled anchors, divided by the batch-total sampled count
-    (anchor_head.py:loss:430-498 with sampling=True)."""
+    (anchor_head.py:loss:430-498 with sampling=True).
+
+    ``anchor_valid`` may be ``(A,)`` (shared) or ``(B, A)`` (per-image valid
+    flags from each image's un-padded extent — the reference's
+    ``valid_flags`` path, anchor_generator.py valid_flags +
+    anchor_head.py:_get_targets_single)."""
     flat_cls, flat_reg = _flatten_levels(cls_scores, bbox_preds)
     b = flat_cls.shape[0]
+    if anchor_valid.ndim == 1:
+        anchor_valid = jnp.broadcast_to(anchor_valid[None],
+                                        (b, anchor_valid.shape[0]))
 
-    def single(cls_s, reg_s, gts, gtv, key):
-        assign = assigner(anchors, anchor_valid, gts, gtv, None)
+    def single(cls_s, reg_s, gts, gtv, av, key):
+        assign = assigner(anchors, av, gts, gtv, None)
         sample = sampler(key, assign, anchors, gts)
         # scatter sampled slots back onto the dense anchor axis
         w = jnp.zeros(anchors.shape[0])
@@ -120,7 +128,7 @@ def rpn_loss(cls_scores: List[jnp.ndarray],
 
     keys = jax.random.split(rng, b)
     cls_sums, reg_sums, counts = jax.vmap(single)(
-        flat_cls, flat_reg, gt_boxes, gt_valid, keys)
+        flat_cls, flat_reg, gt_boxes, gt_valid, anchor_valid, keys)
     avg = jnp.maximum(jnp.sum(counts), 1.0)
     return {
         'loss_rpn_cls': loss_cls_weight * jnp.sum(cls_sums) / avg,

@@ -83,22 +83,28 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
                      focal_gamma: float = 2.0,
                      focal_alpha: float = 0.25,
                      loss_cls_weight: float = 1.0,
-                     loss_bbox_weight: float = 1.0):
+                     loss_bbox_weight: float = 1.0,
+                     anchor_valid=None):
     """Dense focal-loss anchor training (anchor_head.py:loss with
     sampling=False: every non-ignored anchor contributes to cls, normalized
-    by the batch positive count)."""
+    by the batch positive count). ``anchor_valid``: optional (A,) or (B, A)
+    valid flags excluding anchors over static-canvas padding."""
     b = cls_scores[0].shape[0]
     flat_cls = jnp.concatenate(
         [c.reshape(b, -1, num_classes) for c in cls_scores], 1)
     flat_reg = jnp.concatenate(
         [p.reshape(b, -1, 4) for p in bbox_preds], 1)
-    anchor_valid = jnp.ones(anchors.shape[0], bool)
+    if anchor_valid is None:
+        anchor_valid = jnp.ones(anchors.shape[0], bool)
+    if anchor_valid.ndim == 1:
+        anchor_valid = jnp.broadcast_to(anchor_valid[None],
+                                        (b, anchor_valid.shape[0]))
 
-    def single(cls_s, reg_s, gts, glabels, gvalid):
-        assign = assigner(anchors, anchor_valid, gts, gvalid, glabels)
+    def single(cls_s, reg_s, gts, glabels, gvalid, av):
+        assign = assigner(anchors, av, gts, gvalid, glabels)
         pos = assign.gt_inds > 0
-        neg = assign.gt_inds == 0
-        include = pos | neg  # ignore (-1) anchors excluded
+        neg = (assign.gt_inds == 0) & av
+        include = pos | neg  # ignore (-1) and padding anchors excluded
         onehot = jax.nn.one_hot(jnp.where(pos, assign.labels, num_classes),
                                 num_classes + 1)[:, :num_classes]
         cls_l = jnp.sum(
@@ -110,7 +116,8 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
         return cls_l, reg_l, jnp.sum(pos)
 
     cls_l, reg_l, num_pos = jax.vmap(single)(flat_cls, flat_reg, gt_boxes,
-                                             gt_labels, gt_valid)
+                                             gt_labels, gt_valid,
+                                             anchor_valid)
     avg = jnp.maximum(jnp.sum(num_pos), 1.0)
     return {'loss_cls': loss_cls_weight * jnp.sum(cls_l) / avg,
             'loss_bbox': loss_bbox_weight * jnp.sum(reg_l) / avg}
@@ -204,8 +211,13 @@ class SingleStageDetector(nn.Module):
         feats = self.extract_feat(batch['image'], train=True)
         cls_scores, bbox_preds = self.bbox_head(feats, train=True)
         gen = self._anchor_generator()
-        mlvl = gen.grid_anchors([tuple(f.shape[1:3]) for f in feats])
+        featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
+        mlvl = gen.grid_anchors(featmap_sizes)
         anchors = jnp.concatenate(mlvl, 0)
+        anchor_valid = jax.vmap(
+            lambda sh: jnp.concatenate(
+                gen.valid_flags(featmap_sizes, sh), axis=0))(
+            batch['img_shape'])
         return anchor_head_loss(
             cls_scores, bbox_preds, anchors, batch['gt_boxes'],
             batch['gt_labels'], batch['gt_valid'], self.num_classes,
@@ -214,7 +226,8 @@ class SingleStageDetector(nn.Module):
                            min_pos_iou=self.min_pos_iou,
                            match_low_quality=True),
             self.target_means, self.target_stds,
-            self.focal_gamma, self.focal_alpha)
+            self.focal_gamma, self.focal_alpha,
+            anchor_valid=anchor_valid)
 
     def simple_test(self, batch, rescale: bool = True):
         feats = self.extract_feat(batch['image'], train=False)

@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dynamask_tpu.utils.config import Config
 from dynamask_tpu.models import build_detector
 import dynamask_tpu.data  # noqa: F401 — registers datasets/pipelines

@@ -225,3 +225,30 @@ def test_canvas_for():
     assert canvas_for(1333, 800, [(800, 1344), (1344, 800)]) == (1344, 800)
     with pytest.raises(ValueError):
         canvas_for(2000, 2000, [(800, 1344)])
+
+
+class TestResizeModes:
+    def test_keep_ratio_false_exact_size(self):
+        """reference Resize keep_ratio=False (transforms.py:25): resize to
+        the exact img_scale; scale_factor reflects per-axis stretch."""
+        from dynamask_tpu.data.transforms import Resize
+        img = np.zeros((100, 50, 3), np.uint8)
+        r = Resize(img_scale=(64, 32), keep_ratio=False)
+        out = r({'img': img,
+                 'gt_bboxes': np.asarray([[10., 20., 30., 40.]], np.float32),
+                 'gt_bboxes_ignore': np.zeros((0, 4), np.float32)})
+        assert out['img'].shape[:2] == (32, 64)
+        np.testing.assert_allclose(out['scale_factor'],
+                                   [64 / 50, 32 / 100, 64 / 50, 32 / 100])
+        np.testing.assert_allclose(
+            out['gt_bboxes'][0],
+            [10 * 64 / 50, 20 * 32 / 100, 30 * 64 / 50, 40 * 32 / 100])
+
+    def test_keep_ratio_true_fits_long_short(self):
+        from dynamask_tpu.data.transforms import Resize
+        img = np.zeros((100, 50, 3), np.uint8)
+        r = Resize(img_scale=(120, 60), keep_ratio=True)
+        out = r({'img': img})
+        h, w = out['img'].shape[:2]
+        assert max(h, w) <= 120 and min(h, w) <= 60
+        assert h == 120 and w == 60

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dynamask_tpu.models import (gumbel_softmax, dyna_mask_loss,
                                  flops_budget_loss, DCNPack, build_detector,
                                  parse_losses)

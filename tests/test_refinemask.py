@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dynamask_tpu.models.refine_mask_head import refine_cross_entropy_loss
 from dynamask_tpu.models import build_detector, parse_losses
 

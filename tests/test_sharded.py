@@ -1,0 +1,215 @@
+"""Multi-device (8 virtual CPU devices) parity tests.
+
+The one thing the driver checks for multichip — a sharded train step over a
+``data`` mesh — is asserted here against the single-device step on the SAME
+global batch: identical loss and identical updated params. Gradient psum
+over the mesh must be numerically the mean-equivalent of the unsharded
+backward (reference equivalence: DDP allreduce, mmdet/apis/train.py:71-79).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [pytest.mark.slow, pytest.mark.multidevice]
+
+
+def _tiny_detector():
+    """Small two-stage Mask R-CNN-style detector (fast to compile)."""
+    from dynamask_tpu.models import build_detector
+    model = dict(
+        type='MaskRCNN',
+        backbone=dict(type='ResNet', depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, num_outs=5),
+        rpn_head=dict(
+            type='RPNHead', in_channels=32, feat_channels=32,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[1., 1., 1., 1.]),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                          loss_weight=1.0),
+            loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', output_size=7,
+                               sampling_ratio=0),
+                out_channels=32, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(
+                type='Shared2FCBBoxHead', in_channels=32, fc_out_channels=64,
+                roi_feat_size=7, num_classes=8,
+                bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                target_means=[0., 0., 0., 0.],
+                                target_stds=[0.1, 0.1, 0.2, 0.2]),
+                reg_class_agnostic=False,
+                loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                              loss_weight=1.0),
+                loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+            mask_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', output_size=14,
+                               sampling_ratio=0),
+                out_channels=32, featmap_strides=[4, 8, 16, 32]),
+            mask_head=dict(
+                type='FCNMaskHead', num_convs=2, in_channels=32,
+                conv_out_channels=32, num_classes=8,
+                loss_mask=dict(type='CrossEntropyLoss', use_mask=True,
+                               loss_weight=1.0))),
+    )
+    train_cfg = dict(
+        rpn=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3,
+                          match_low_quality=True, ignore_iof_thr=-1),
+            sampler=dict(type='RandomSampler', num=32, pos_fraction=0.5,
+                         neg_pos_ub=-1, add_gt_as_proposals=False),
+            allowed_border=0, pos_weight=-1, debug=False),
+        rpn_proposal=dict(nms_pre=64, nms_post=32, max_num=32, nms_thr=0.7,
+                          min_bbox_size=0),
+        rcnn=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.5,
+                          match_low_quality=True, ignore_iof_thr=-1),
+            sampler=dict(type='RandomSampler', num=16, pos_fraction=0.25,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            mask_size=28, pos_weight=-1, debug=False))
+    test_cfg = dict(
+        rpn=dict(nms_pre=64, nms_post=32, max_num=32, nms_thr=0.7,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=0.05, nms=dict(type='nms', iou_threshold=0.5),
+                  max_per_img=16, mask_thr_binary=0.5))
+    return build_detector(model, train_cfg, test_cfg)
+
+
+def _batch(b, h=64, w=64, g=4, s=32, seed=0):
+    r = np.random.RandomState(seed)
+    image = r.randn(b, h, w, 3).astype(np.float32)
+    cx = r.uniform(16, w - 16, (b, g))
+    cy = r.uniform(16, h - 16, (b, g))
+    bw = r.uniform(8, 24, (b, g))
+    bh = r.uniform(8, 24, (b, g))
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                     -1).astype(np.float32)
+    return {
+        'image': jnp.asarray(image),
+        'img_shape': jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1)),
+        'ori_shape': jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1)),
+        'scale_factor': jnp.ones((b, 4), jnp.float32),
+        'gt_boxes': jnp.asarray(boxes),
+        'gt_labels': jnp.asarray(r.randint(0, 8, (b, g)), jnp.int32),
+        'gt_valid': jnp.ones((b, g), bool),
+        'gt_crops': jnp.asarray(
+            (r.uniform(0, 1, (b, g, s, s)) > 0.5).astype(np.uint8)),
+        'gt_windows': jnp.asarray(boxes + np.asarray([-2., -2., 2., 2.],
+                                                     np.float32)),
+    }
+
+
+@pytest.fixture(scope='module')
+def det_and_state():
+    from dynamask_tpu.engine import (build_optimizer, create_train_state)
+    det = _tiny_detector()
+    batch = _batch(8)
+    variables = jax.jit(det.init)({'params': jax.random.PRNGKey(0)}, batch)
+    tx = build_optimizer(variables['params'], base_lr=0.01, momentum=0.9,
+                         weight_decay=1e-4, grad_clip_norm=35.0,
+                         frozen_backbone_prefixes=det.backbone
+                         .frozen_param_paths())
+    state = create_train_state(variables, tx)
+    return det, tx, state, batch
+
+
+class TestShardedTrainParity:
+    def test_8dev_matches_single(self, det_and_state):
+        from dynamask_tpu.engine import (make_train_step, data_parallel_mesh,
+                                         jit_train_step_sharded)
+        det, tx, state, batch = det_and_state
+        assert len(jax.devices()) >= 8, 'conftest must force 8 CPU devices'
+        rng = jax.random.PRNGKey(7)
+
+        # single-device step
+        single = jax.jit(make_train_step(det, tx))
+        s1, log1 = single(state, batch, rng)
+
+        # sharded step over 8 devices, same global batch. The sharded step
+        # donates its state arg — feed it a copy so the fixture state
+        # survives for the other tests.
+        mesh = data_parallel_mesh(jax.devices()[:8])
+        step_fn, place = jit_train_step_sharded(det, tx, mesh)
+        state_copy = jax.tree_util.tree_map(jnp.copy, state)
+        st, bt, rt = place(state_copy, batch, rng)
+        s2, log2 = step_fn(st, bt, rt)
+
+        np.testing.assert_allclose(float(log1['loss']), float(log2['loss']),
+                                   rtol=1e-4)
+        l1 = jax.tree_util.tree_leaves(s1.params)
+        l2 = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+        assert len(l1) == len(l2)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dryrun_multichip_callable(self):
+        """The driver entrypoint itself (uses the flagship config) — only
+        assert it is importable and wired; the full run is exercised by the
+        driver and by __main__."""
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            '__graft_entry__', os.path.join(os.path.dirname(__file__), '..',
+                                            '__graft_entry__.py'))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(mod.dryrun_multichip)
+        assert callable(mod.entry)
+
+
+class TestMultiDeviceEval:
+    def test_multi_device_matches_single(self, det_and_state, tmp_path):
+        """8-device eval must produce identical per-image results to
+        single-device on the same synthetic dataset."""
+        from dynamask_tpu.apis.test import (single_device_test,
+                                            multi_device_test)
+        det, _, state, _ = det_and_state
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+        class FakeDataset:
+            flags = np.zeros(8, np.int64)
+            img_infos = [{'id': i, 'height': 64, 'width': 64}
+                         for i in range(8)]
+
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                b = _batch(1, seed=100 + i)
+                return {
+                    'image': np.asarray(b['image'][0]),
+                    'img_shape': np.asarray([64, 64], np.float32),
+                    'ori_shape': np.asarray([64, 64], np.float32),
+                    'scale_factor': np.ones(4, np.float32),
+                    'img_id': np.asarray(i, np.int64),
+                }
+
+        ds = FakeDataset()
+        r_single = single_device_test(det, variables, ds, progress=False)
+        r_multi = multi_device_test(det, variables, ds,
+                                    samples_per_device=1,
+                                    devices=jax.devices()[:8])
+        assert len(r_single) == len(r_multi) == 8
+        by_id = {r['img_id']: r for r in r_multi}
+        for rs in r_single:
+            rm = by_id[rs['img_id']]
+            np.testing.assert_allclose(rs['dets'], rm['dets'], rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_array_equal(rs['valid'], rm['valid'])
+            np.testing.assert_array_equal(rs['labels'], rm['labels'])

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dynamask_tpu.core.merge_augs import (recover_boxes, to_aug_frame,
                                           merge_aug_masks)
 
