@@ -36,11 +36,18 @@ from .layers import (kaiming_normal_fan_out, max_pool, resize_bilinear_2x,
 
 class DCNPack(nn.Module):
     """3×3 DCNv1 with self-predicted offsets (mmcv DeformConv2dPack:
-    offset conv zero-initialized; the deform conv itself has no bias)."""
+    offset conv zero-initialized; the deform conv itself has no bias).
+
+    ``window``: bounded-deformation fast path — samples are accumulated over
+    a static (2·window+2)² shift window (gather-free, ~2.3x faster at the
+    56² stage on TPU), exact while each predicted offset stays within
+    ``window−1`` px of its tap. ``None`` selects the exact gather path.
+    The same path runs in train and test, so semantics stay consistent."""
 
     out_channels: int
     kernel_size: int = 3
     deform_groups: int = 2
+    window: Optional[int] = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -59,7 +66,8 @@ class DCNPack(nn.Module):
         dcn = functools.partial(
             deform_conv2d, kernel_size=k, padding=(k - 1) // 2,
             deform_groups=self.deform_groups,
-            roi_chunk=64 if train else 0)
+            roi_chunk=64 if train else 0,
+            window=self.window)
         if train:
             dcn = jax.checkpoint(dcn)
         return dcn(x, offsets, weights)
@@ -115,6 +123,7 @@ class SFMStage(nn.Module):
     num_classes: int
     semantic_scale: float        # 1/semantic_out_stride for the RoI crop
     upsample: bool = True
+    dcn_window: Optional[int] = 3
 
     @nn.compact
     def __call__(self, instance_feats: jnp.ndarray,
@@ -145,6 +154,7 @@ class SFMStage(nn.Module):
                                 kernel_init=kaiming_normal_fan_out(),
                                 name='fuse_conv_0')(fused))
         fused = nn.relu(DCNPack(self.instance_in_channel, deform_groups=2,
+                                window=self.dcn_window,
                                 name='fuse_conv_1')(fused, train))
         fused = nn.relu(nn.Conv(self.instance_out_channel - 2, (1, 1),
                                 kernel_init=kaiming_normal_fan_out(),
@@ -169,6 +179,7 @@ class DynaMaskHead(nn.Module):
     stage_sup_size: Tuple[int, ...] = (14, 28, 56, 112)
     pre_upsample_last_stage: bool = False
     faithful_stride_quirk: bool = True
+    dcn_window: Optional[int] = 3
 
     @nn.compact
     def __call__(self, instance_feats: jnp.ndarray,
@@ -226,6 +237,7 @@ class DynaMaskHead(nn.Module):
                 num_classes=self.stage_num_classes[idx],
                 semantic_scale=scale,
                 upsample=upsample,
+                dcn_window=self.dcn_window,
                 name=f'stage_{idx}')(x, sem_feat, cur_rois, cur_batch,
                                      cur_labels, train)
             stage_instance_preds.append(inst_p)

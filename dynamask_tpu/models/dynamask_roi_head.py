@@ -142,9 +142,12 @@ class DynaMaskRoIHead(StandardRoIHead):
     # The faithful default (False) runs the full cascade for every RoI, which
     # is the reference's ACTIVE code path (its routed variant is commented
     # out, dynamask_roi_head.py:160-204). dynamic_capacity gives the static
-    # fractions of RoIs admitted to the 56- and 112-resolution stages.
+    # fractions of RoIs admitted to the 28-, 56- and 112-resolution stages
+    # (RoIs the switch routes to 14 skip the cascade entirely — the paper's
+    # budget claim; a 2-tuple is accepted for backward compat and admits
+    # everything to the 28 stage).
     dynamic_inference: bool = False
-    dynamic_capacity: Tuple[float, float] = (0.5, 0.25)
+    dynamic_capacity: Tuple[float, ...] = (0.5, 0.25, 0.125)
 
     def setup(self):
         # the MSM is built unconditionally by the reference BaseRoIHead
@@ -259,22 +262,33 @@ class DynaMaskRoIHead(StandardRoIHead):
         order = jnp.argsort(-need, stable=True)
         inv_order = jnp.argsort(order)
 
-        k2 = max(1, int(round(n * self.dynamic_capacity[0])))
-        k3 = max(1, min(k2, int(round(n * self.dynamic_capacity[1]))))
-        caps = (n, n, k2, k3)
+        cap = tuple(self.dynamic_capacity)
+        if len(cap) == 2:          # legacy 2-tuple: everyone reaches 28
+            cap = (1.0,) + cap
+        k1 = max(1, int(round(n * cap[0])))
+        k2 = max(1, min(k1, int(round(n * cap[1]))))
+        k3 = max(1, min(k2, int(round(n * cap[2]))))
+        caps = (n, k1, k2, k3)
 
         stage_preds, _ = self._mask_forward(
             feats, rois[order], roi_batch[order], flat_labels[order], False,
             caps)
-        p1 = stage_preds[1][..., 0]    # (n, 28, 28)
+        p0 = stage_preds[0][..., 0]    # (n, 14, 14)
+        p1 = stage_preds[1][..., 0]    # (k1, 28, 28)
         p2s = stage_preds[2][..., 0]   # (k2, 56, 56)
         p3s = stage_preds[3][..., 0]   # (k3, 112, 112)
 
-        # bucketed boundary fusion, then lift everything to 112
+        # bucketed boundary fusion, then lift every bucket to 112.
+        # The faithful path fuses from stage 1 on (reference
+        # dynamask_roi_head.py:138-148 drops stage 0); RoIs the switch
+        # routes to 14 return their stage-0 logits upsampled.
         fused56 = self._fuse_pair(p1[:k2], p2s)
         fused112 = self._fuse_pair(fused56[:k3], p3s)
-        final = interpolate_bilinear(p1[:, None], 112, 112,
+        final = interpolate_bilinear(p0[:, None], 112, 112,
                                      align_corners=True)[:, 0]
+        final = final.at[:k1].set(
+            interpolate_bilinear(p1[:, None], 112, 112,
+                                 align_corners=True)[:, 0])
         final = final.at[:k2].set(
             interpolate_bilinear(fused56[:, None], 112, 112,
                                  align_corners=True)[:, 0])
@@ -338,7 +352,8 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
         stage_num_classes=tuple(mhc.get('stage_num_classes', (80, 80, 80, 1))),
         stage_sup_size=tuple(mhc.get('stage_sup_size', (14, 28, 56, 112))),
         pre_upsample_last_stage=mhc.get('pre_upsample_last_stage', False),
-        faithful_stride_quirk=mhc.get('faithful_stride_quirk', True))
+        faithful_stride_quirk=mhc.get('faithful_stride_quirk', True),
+        dcn_window=mhc.get('dcn_window', 3))
     return DynaMaskRoIHead(
         mask_head=mask_head,
         stage_sup_size=tuple(mhc.get('stage_sup_size', (14, 28, 56, 112))),
@@ -349,5 +364,6 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
         flops_cost=tuple(rcnn_train.get('flops', (0.23, 0.62, 1.01, 1.4))),
         flops_lambda=rcnn_train.get('Lambda', 0.3),
         dynamic_inference=cfg.get('dynamic_inference', False),
-        dynamic_capacity=tuple(cfg.get('dynamic_capacity', (0.5, 0.25))),
+        dynamic_capacity=tuple(cfg.get('dynamic_capacity',
+                                       (0.5, 0.25, 0.125))),
         **common)

@@ -162,7 +162,13 @@ def rpn_get_proposals(cls_scores: List[jnp.ndarray],
         scores = jax.nn.sigmoid(cs.reshape(b, -1))          # (B, K_l)
         deltas = bp.reshape(b, -1, a, 4).reshape(b, -1, 4)  # (B, K_l, 4)
         k = min(nms_pre, scores.shape[1])
-        top_s, top_i = jax.lax.top_k(scores, k)
+        if k < scores.shape[1]:
+            # pre-NMS top-k is a recall heuristic (reference takes nms_pre
+            # per level before NMS) — approx_max_k is the TPU-native top-k
+            # (avoids a full sort; ~0.95 recall at the cut boundary only)
+            top_s, top_i = jax.lax.approx_max_k(scores, k)
+        else:
+            top_s, top_i = jax.lax.top_k(scores, k)
         top_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
         top_a = anc[top_i]                                   # (B, k, 4)
         boxes = delta2bbox(top_a, top_d, target_means, target_stds)

@@ -80,7 +80,106 @@ def _bilinear_sample_nhwc(x: jnp.ndarray, ys: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
-                                   'dilation', 'deform_groups', 'roi_chunk'))
+                                   'dilation', 'deform_groups', 'window'))
+def deform_conv2d_windowed(x: jnp.ndarray,
+                           offsets: jnp.ndarray,
+                           weights: jnp.ndarray,
+                           kernel_size: int = 3,
+                           stride: int = 1,
+                           padding: int = 1,
+                           dilation: int = 1,
+                           deform_groups: int = 1,
+                           window: int = 4) -> jnp.ndarray:
+    """Gather-free DCN: dense windowed accumulation (the TPU fast path).
+
+    Instead of gathering each tap's bilinear corners (TPU gathers cost
+    ~5-10 ns/row regardless of width — measured 57 ms for the 100x56x56x64
+    stage vs ~5 ms for this formulation), every sample is expressed over a
+    static (2D+2)^2 window of SHIFTED feature slices with bilinear tent
+    weights: pure VPU multiply-adds feeding per-tap MXU matmuls.
+
+    Semantics: exact DCNv1 whenever each predicted offset displaces the
+    sample by at most ``window - 1`` pixels from its tap position; larger
+    displacements are clamped to the window edge (a bounded deformation
+    range, like DCNv2's modulation cap). Training and inference use the
+    same path, so the cap is consistent end-to-end. ``window=None`` on
+    :func:`deform_conv2d` selects the exact gather path instead.
+    """
+    assert stride == 1, 'windowed DCN supports stride 1 (SFM stages)'
+    n, h, w, c = x.shape
+    k = kernel_size
+    g = deform_groups
+    assert c % g == 0
+    cg = c // g
+    c_out = weights.shape[-1]
+    ho = h + 2 * padding - dilation * (k - 1) - 1 + 1
+    wo = w + 2 * padding - dilation * (k - 1) - 1 + 1
+    assert offsets.shape[:3] == (n, ho, wo), (offsets.shape, (n, ho, wo))
+    D = window
+
+    # group-major planes, padded once by D+1 on each side
+    xg = x.reshape(n, h, w, g, cg).transpose(3, 0, 1, 2, 4) \
+        .reshape(g * n, h, w, cg)
+    pad = D + 1
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    off = offsets.reshape(n, ho, wo, g, k, k, 2).astype(jnp.float32) \
+        .transpose(3, 0, 1, 2, 4, 5, 6).reshape(g * n, ho, wo, k, k, 2)
+    off_taps = off.transpose(3, 4, 0, 1, 2, 5).reshape(
+        k * k, g * n, ho, wo, 2)
+    tap_dy = jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k) \
+        - padding
+    tap_dx = jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k) \
+        - padding
+    w_tap = weights.reshape(k * k, g, cg, c_out)
+
+    iy = jnp.arange(ho, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(wo, dtype=jnp.float32)[None, None, :]
+    dt = x.dtype
+
+    def tap_body(out, tap):
+        off_t, dy, dx, m_t = tap
+        # displacement of the sample relative to the output pixel
+        rel_y = dy + off_t[..., 0]
+        rel_x = dx + off_t[..., 1]
+        # zero-contribution mask from the UNCLAMPED absolute position
+        # (mmcv: taps fully outside (-1, extent) contribute 0)
+        ins_y = ((iy + rel_y > -1.0) & (iy + rel_y < h)).astype(jnp.float32)
+        ins_x = ((ix + rel_x > -1.0) & (ix + rel_x < w)).astype(jnp.float32)
+        rel_y = jnp.clip(rel_y, -D, D)
+        rel_x = jnp.clip(rel_x, -D, D)
+        # per-axis tent weights for every window cell (only 2 are nonzero)
+        wys = [(jnp.clip(1.0 - jnp.abs(rel_y - u), 0.0) * ins_y).astype(dt)
+               for u in range(-D, D + 2)]
+        wxs = [(jnp.clip(1.0 - jnp.abs(rel_x - v), 0.0) * ins_x).astype(dt)
+               for v in range(-D, D + 2)]
+        sampled = jnp.zeros((g * n, ho, wo, cg), dt)
+        for ui, u in enumerate(range(-D, D + 2)):
+            row_acc = None
+            for vi, v in enumerate(range(-D, D + 2)):
+                sl = jax.lax.slice(
+                    xp, (0, pad + u, pad + v, 0),
+                    (g * n, pad + u + ho, pad + v + wo, cg))
+                term = sl * wxs[vi][..., None]
+                row_acc = term if row_acc is None else row_acc + term
+            sampled = sampled + row_acc * wys[ui][..., None]
+        for gi in range(g):
+            sg = jax.lax.slice_in_dim(sampled, gi * n, (gi + 1) * n, 1,
+                                      axis=0)
+            out = out + jnp.einsum(
+                'nhwk,ko->nhwo', sg, m_t[gi].astype(dt),
+                preferred_element_type=jnp.float32)
+        return out, None
+
+    out0 = jnp.zeros((n, ho, wo, c_out), jnp.float32)
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
+                          (off_taps, tap_dy, tap_dx, w_tap))
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
+                                   'dilation', 'deform_groups', 'roi_chunk',
+                                   'window'))
 def deform_conv2d(x: jnp.ndarray,
                   offsets: jnp.ndarray,
                   weights: jnp.ndarray,
@@ -89,7 +188,8 @@ def deform_conv2d(x: jnp.ndarray,
                   padding: int = 1,
                   dilation: int = 1,
                   deform_groups: int = 1,
-                  roi_chunk: int = 64) -> jnp.ndarray:
+                  roi_chunk: int = 64,
+                  window: int = None) -> jnp.ndarray:
     """DCNv1 forward.
 
     Args:
@@ -108,6 +208,24 @@ def deform_conv2d(x: jnp.ndarray,
     n, h, w, c = x.shape
     k = kernel_size
     g = deform_groups
+
+    if window is not None:
+        # gather-free fast path (see deform_conv2d_windowed); roi chunking
+        # bounds the window accumulator's footprint the same way
+        if roi_chunk and n > roi_chunk and h * w >= 28 * 28:
+            pad_n = (-n) % roi_chunk
+            xw = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+            ow = jnp.pad(offsets, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+            out = jax.lax.map(
+                lambda args: deform_conv2d_windowed(
+                    args[0], args[1], weights, kernel_size, stride, padding,
+                    dilation, deform_groups, window),
+                (xw.reshape(-1, roi_chunk, h, w, c),
+                 ow.reshape(-1, roi_chunk, *offsets.shape[1:])))
+            return out.reshape(-1, *out.shape[2:])[:n]
+        return deform_conv2d_windowed(x, offsets, weights, kernel_size,
+                                      stride, padding, dilation,
+                                      deform_groups, window)
 
     # bound peak memory: map over fixed-size roi chunks at large batch×spatial
     if roi_chunk and n > roi_chunk and h * w >= 28 * 28:
@@ -131,14 +249,32 @@ def deform_conv2d(x: jnp.ndarray,
     cg = c // g
     c_out = weights.shape[-1]
 
-    # corner-packed table in GROUP-MAJOR order: (G*N, H, W, 4*C/G). Group
-    # slices are then contiguous static chunks — no transposes in the tap
-    # matmuls (einsum batching over G forced 1.5 GB transposed temporaries
-    # per tap under autodiff).
+    # Group-major input: (G*N, H, W, C/G). Gather-row width is the key TPU
+    # performance constraint: rows gather at full HBM bandwidth only up to
+    # 128 lanes (measured: 128-wide bf16 rows ~800 GB/s; 256-wide collapse
+    # to ~100 GB/s). So:
+    #   * cg <= 64: PAIR-packed table — each row holds [x, x+1] (2cg <= 128
+    #     lanes); the bottom corner pair is the same table one row down.
+    #     2 gathers per tap.
+    #   * cg > 64: per-corner gathers of plain cg-wide rows (cg = 128 fills
+    #     a lane row exactly). 4 gathers per tap.
     xg = x.reshape(n, h, w, g, cg).transpose(3, 0, 1, 2, 4) \
         .reshape(g * n, h, w, cg)
-    packed = pack_corners(xg).reshape(g * n * h * w, 4 * cg)
-    base = (jnp.arange(g * n, dtype=jnp.int32) * (h * w))[:, None, None]
+    pair_pack = (2 * cg) <= 128
+    # zero-pad one row/col: clamped+1 indices land on zeros, and the tent
+    # weights already put the right mass on the clamped entry
+    xp = jnp.pad(xg, ((0, 0), (0, 1), (0, 1), (0, 0)))  # (G*N, H+1, W+1, cg)
+    if pair_pack:
+        # (G*N, H+1, W, 2cg): row (y, x) = [v(y,x), v(y,x+1)]
+        table = jnp.concatenate([xp[:, :, :w], xp[:, :, 1:w + 1]], axis=-1)
+        row_stride = w
+        plane = (h + 1) * w
+        flat = table.reshape(g * n * plane, 2 * cg)
+    else:
+        row_stride = w + 1
+        plane = (h + 1) * (w + 1)
+        flat = xp.reshape(g * n * plane, cg)
+    base = (jnp.arange(g * n, dtype=jnp.int32) * plane)[:, None, None]
 
     # offsets per group, group-major: (G*N, Ho, Wo, k, k, 2)
     off = offsets.reshape(n, ho, wo, g, k, k, 2).astype(jnp.float32) \
@@ -146,14 +282,15 @@ def deform_conv2d(x: jnp.ndarray,
     base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)
     base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)
 
-    # per-tap, per-group weights with the corner-sum folded in: the packed
-    # row chunk q ∈ {0..3} maps to one corner's copy of W's group rows.
     w_tap = weights.reshape(k * k, g, cg, c_out)
-    m = jnp.tile(w_tap, (1, 1, 4, 1))  # (T, G, 4*cg, c_out)
+    if pair_pack:
+        m = jnp.tile(w_tap, (1, 1, 2, 1))  # (T, G, 2cg, c_out)
+    else:
+        m = w_tap                           # (T, G, cg, c_out)
 
     # stack taps for a lax.scan: only ONE tap's gather/weighting is live at a
     # time even through the backward (checkpointed body) — the unrolled loop
-    # kept all k² taps' (G·N, Ho, Wo, 4cg) tensors alive for the weight grads
+    # kept all k² taps' gathered tensors alive for the weight grads
     off_taps = off.transpose(3, 4, 0, 1, 2, 5).reshape(
         k * k, g * n, ho, wo, 2)
     tap_dy = jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
@@ -165,7 +302,6 @@ def deform_conv2d(x: jnp.ndarray,
         xs = base_x[None, None, :] + dx + off_t[..., 1]
         iy = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
         ix = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
-        rows = jnp.take(packed, base + iy * w + ix, axis=0)
         fy = iy.astype(jnp.float32)
         fx = ix.astype(jnp.float32)
         wy0 = jnp.clip(1.0 - jnp.abs(ys - fy), 0.0)
@@ -174,15 +310,32 @@ def deform_conv2d(x: jnp.ndarray,
         wx1 = jnp.clip(1.0 - jnp.abs(xs - fx - 1.0), 0.0)
         inside = ((ys > -1.0) & (ys < h) & (xs > -1.0) &
                   (xs < w)).astype(jnp.float32)
-        w4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
-                       axis=-1) * inside[..., None]          # (G*N,Ho,Wo,4)
-        pattern = jnp.repeat(w4, cg, axis=-1).astype(rows.dtype)
-        weighted = rows * pattern                            # (G*N,Ho,Wo,4cg)
+        dt = flat.dtype
+        idx00 = base + iy * row_stride + ix
+        if pair_pack:
+            rows_t = jnp.take(flat, idx00, axis=0)              # y row
+            rows_b = jnp.take(flat, idx00 + row_stride, axis=0)  # y+1 row
+            patx = jnp.concatenate([
+                jnp.repeat((wx0 * inside)[..., None], cg, axis=-1),
+                jnp.repeat((wx1 * inside)[..., None], cg, axis=-1)],
+                axis=-1).astype(dt)                              # (...,2cg)
+            weighted = (rows_t * (wy0[..., None].astype(dt) * patx) +
+                        rows_b * (wy1[..., None].astype(dt) * patx))
+        else:
+            v00 = jnp.take(flat, idx00, axis=0)
+            v01 = jnp.take(flat, idx00 + 1, axis=0)
+            v10 = jnp.take(flat, idx00 + row_stride, axis=0)
+            v11 = jnp.take(flat, idx00 + row_stride + 1, axis=0)
+            weighted = (
+                v00 * ((wy0 * wx0 * inside)[..., None]).astype(dt) +
+                v01 * ((wy0 * wx1 * inside)[..., None]).astype(dt) +
+                v10 * ((wy1 * wx0 * inside)[..., None]).astype(dt) +
+                v11 * ((wy1 * wx1 * inside)[..., None]).astype(dt))
         for gi in range(g):
-            wg = jax.lax.slice_in_dim(weighted, gi * n, (gi + 1) * n, 1,
-                                      axis=0)
+            wg = jax.lax.slice_in_dim(weighted, gi * n, (gi + 1) * n,
+                                      1, axis=0)
             out = out + jnp.einsum(
-                'nhwk,ko->nhwo', wg, m_t[gi].astype(rows.dtype),
+                'nhwk,ko->nhwo', wg, m_t[gi].astype(dt),
                 preferred_element_type=jnp.float32)
         return out, None
 

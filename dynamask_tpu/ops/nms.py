@@ -28,27 +28,54 @@ from ..core.bbox_transforms import bbox_overlaps
 
 
 def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
-                 iou_threshold: float) -> jnp.ndarray:
-    """Exact greedy keep mask over score-DESC-sorted boxes via fixpoint
-    iteration of the suppression recurrence."""
+                 iou_threshold: float, tile: int = 256) -> jnp.ndarray:
+    """Exact greedy keep mask over score-DESC-sorted boxes, tile-sequential.
+
+    The naive fixpoint ("iterate keep = valid & ~suppressed-by-kept until
+    stable") needs as many (k, k) passes as the longest suppression CHAIN —
+    profiled at >25 ms/img with dense candidates. This version finalizes
+    score-ordered tiles of ``tile`` boxes one at a time: each tile is
+    suppressed by the already-final earlier tiles (one (tile, k) IoU block,
+    computed on the fly — no (k, k) matrix is ever materialized), then the
+    tile-internal chain is resolved by a fixpoint bounded by the tile. The
+    result is EXACTLY greedy NMS with a deterministic number of outer steps.
+    """
     k = boxes.shape[0]
-    iou = bbox_overlaps(boxes, boxes)
-    higher = jnp.tril(jnp.ones((k, k), bool), k=-1)  # j < i: j has higher score
-    sup = (iou > iou_threshold) & higher & valid[None, :] & valid[:, None]
+    tile = min(tile, k)
+    n_tiles = -(-k // tile)
+    pad = n_tiles * tile - k
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = boxes.shape[0]
+    idx = jnp.arange(kp)
+    tril = jnp.tril(jnp.ones((tile, tile), bool), k=-1)  # j < i in tile
 
-    def cond(state):
-        keep, prev, it = state
-        return jnp.any(keep != prev) & (it < k)
+    def outer(t, keep):
+        s = t * tile
+        tb = jax.lax.dynamic_slice(boxes, (s, 0), (tile, 4))
+        tv = jax.lax.dynamic_slice(valid, (s,), (tile,))
+        iou_all = bbox_overlaps(tb, boxes)               # (tile, kp)
+        prev_kept = keep & (idx < s)
+        alive = tv & ~jnp.any((iou_all > iou_threshold) & prev_kept[None, :],
+                              axis=1)
+        iou_tt = jax.lax.dynamic_slice(iou_all, (0, s), (tile, tile))
+        sup_tt = (iou_tt > iou_threshold) & tril
 
-    def body(state):
-        keep, _, it = state
-        new = valid & ~jnp.any(sup & keep[None, :], axis=1)
-        return new, keep, it + 1
+        def cond(st):
+            a, prev, i = st
+            return jnp.any(a != prev) & (i < tile)
 
-    keep0 = valid
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
-    return keep
+        def body(st):
+            a, _, i = st
+            return (alive & ~jnp.any(sup_tt & a[None, :], axis=1), a, i + 1)
+
+        a, _, _ = jax.lax.while_loop(
+            cond, body, (alive, jnp.zeros_like(alive), jnp.int32(0)))
+        return jax.lax.dynamic_update_slice(keep, a, (s,))
+
+    keep = jax.lax.fori_loop(0, n_tiles, outer, valid)
+    return keep[:k]
 
 
 @partial(jax.jit, static_argnames=('iou_threshold', 'max_out', 'pre_top_k'))
@@ -73,7 +100,13 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     k = min(pre_top_k, n)
     neg_inf = jnp.float32(-jnp.inf)
     masked = jnp.where(valid, scores, neg_inf)
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    if k < n:
+        # TPU-native approximate top-k for the candidate cut: the returned
+        # set is sorted exactly; only membership at the rank-k boundary is
+        # approximate, where candidates almost never reach the final keeps
+        top_scores, top_idx = jax.lax.approx_max_k(masked, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked, k)
     top_boxes = boxes[top_idx]
     top_valid = top_scores > neg_inf
 
