@@ -45,10 +45,7 @@ def load_checkpoint(path: str, target_state):
     ``path`` may be a direct epoch dir or a work_dir containing ``latest``.
     """
     ocp = _ocp()
-    path = osp.abspath(path)
-    if osp.isfile(osp.join(path, 'latest')):
-        with open(osp.join(path, 'latest')) as f:
-            path = osp.join(path, f.read().strip())
+    path = _resolve_ckpt_path(osp.abspath(path))
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path, target=jax.device_get(target_state))
     meta_path = path + '.meta.json'
@@ -59,13 +56,22 @@ def load_checkpoint(path: str, target_state):
     return restored, meta
 
 
+def _resolve_ckpt_path(path: str) -> str:
+    """Accept a work_dir (-> its 'latest'), the 'latest' pointer FILE
+    itself, or a direct epoch dir."""
+    if osp.isfile(osp.join(path, 'latest')):
+        with open(osp.join(path, 'latest')) as f:
+            return osp.join(path, f.read().strip())
+    if osp.isfile(path):  # the pointer file: resolve relative to its dir
+        with open(path) as f:
+            return osp.join(osp.dirname(path), f.read().strip())
+    return path
+
+
 def load_params_only(path: str, target_params):
     """``load_from`` semantics: weights only, progress reset."""
     ocp = _ocp()
-    path = osp.abspath(path)
-    if osp.isfile(osp.join(path, 'latest')):
-        with open(osp.join(path, 'latest')) as f:
-            path = osp.join(path, f.read().strip())
+    path = _resolve_ckpt_path(osp.abspath(path))
     ckpt = ocp.StandardCheckpointer()
     meta = ckpt.metadata(path)
     restored = ckpt.restore(path)

@@ -190,6 +190,46 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
             boundary_width=loss_cfg.get('boundary_width', 2),
             start_stage=loss_cfg.get('start_stage', 1),
             **common)
+    if t == 'PointRendRoIHead':
+        from .point_rend import (PointRendRoIHead, CoarseMaskHead,
+                                 MaskPointHead)
+        mhc = _cfg(cfg['mask_head'])
+        assert mhc.pop('type') == 'CoarseMaskHead'
+        mask_head = CoarseMaskHead(
+            num_convs=mhc.get('num_convs', 0),
+            num_fcs=mhc.get('num_fcs', 2),
+            in_channels=mhc.get('in_channels', 256),
+            conv_out_channels=mhc.get('conv_out_channels', 256),
+            fc_out_channels=mhc.get('fc_out_channels', 1024),
+            downsample_factor=mhc.get('downsample_factor', 2),
+            roi_feat_size=mhc.get('roi_feat_size', 14),
+            num_classes=mhc.get('num_classes', 80))
+        phc = _cfg(cfg['point_head'])
+        assert phc.pop('type') == 'MaskPointHead'
+        point_head = MaskPointHead(
+            num_classes=phc.get('num_classes', 80),
+            num_fcs=phc.get('num_fcs', 3),
+            in_channels=phc.get('in_channels', 256),
+            fc_channels=phc.get('fc_channels', 256),
+            class_agnostic=phc.get('class_agnostic', False),
+            coarse_pred_each_layer=phc.get('coarse_pred_each_layer', True))
+        common['loss_mask_weight'] = _cfg(
+            mhc.get('loss_mask')).get('loss_weight', 1.0)
+        return PointRendRoIHead(
+            mask_head=mask_head, point_head=point_head,
+            num_points=rcnn_train.get('num_points', 196),
+            oversample_ratio=rcnn_train.get('oversample_ratio', 3.0),
+            importance_sample_ratio=rcnn_train.get('importance_sample_ratio',
+                                                   0.75),
+            subdivision_steps=rcnn_test.get('subdivision_steps', 5),
+            subdivision_num_points=rcnn_test.get('subdivision_num_points',
+                                                 784),
+            scale_factor=rcnn_test.get('scale_factor', 2),
+            **common)
+    if t == 'HybridTaskCascadeRoIHead':
+        from .htc import build_htc_roi_head
+        return build_htc_roi_head(cfg, train_cfg, test_cfg, common,
+                                  build_bbox_head, _cfg)
     if t == 'CascadeRoIHead':
         from .cascade_roi_head import CascadeRoIHead
         heads, coders = [], []
@@ -266,6 +306,9 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
 
 def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
     from .single_stage import RetinaNet, SingleStageDetector, RetinaHead
+    hc_probe = _cfg(cfg['bbox_head'])
+    if hc_probe.get('type') == 'SSDHead':
+        return build_ssd(cfg, _cfg(train_cfg), _cfg(test_cfg))
     backbone = build_backbone(cfg['backbone'])
     neck = build_neck(cfg['neck'])
     hc = _cfg(cfg['bbox_head'])
@@ -304,6 +347,46 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
         max_per_img=tc.get('max_per_img', 100))
 
 
+def build_ssd(cfg: dict, train_cfg: dict, test_cfg: dict):
+    """SSD from the reference schema (configs/_base_/models/ssd300.py)."""
+    from .ssd import SSD, SSDVGG, SSDHead
+    bc = _cfg(cfg['backbone'])
+    assert bc.get('type') == 'SSDVGG', bc.get('type')
+    input_size = bc.get('input_size', 300)
+    backbone = SSDVGG(input_size=input_size, depth=bc.get('depth', 16))
+    hc = _cfg(cfg['bbox_head'])
+    anchor_cfg = _cfg(hc.get('anchor_generator'))
+    coder = _cfg(hc.get('bbox_coder'))
+    ratios = tuple(tuple(r) for r in anchor_cfg.get(
+        'ratios', ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))))
+    # anchors per level: 2 (1 + sqrt extra) + 2 per extra ratio
+    num_anchors = tuple(2 + 2 * len(r) for r in ratios)
+    head = SSDHead(num_classes=hc.get('num_classes', 80),
+                   num_anchors=num_anchors)
+    assigner = _cfg(train_cfg.get('assigner'))
+    tc = _cfg(test_cfg)
+    return SSD(
+        backbone=backbone, bbox_head=head,
+        num_classes=hc.get('num_classes', 80),
+        input_size=input_size,
+        strides=tuple(anchor_cfg.get('strides',
+                                     (8, 16, 32, 64, 100, 300))),
+        ratios=ratios,
+        basesize_ratio_range=tuple(anchor_cfg.get('basesize_ratio_range',
+                                                  (0.15, 0.9))),
+        target_means=tuple(coder.get('target_means', (0., 0., 0., 0.))),
+        target_stds=tuple(coder.get('target_stds', (0.1, 0.1, 0.2, 0.2))),
+        pos_iou_thr=assigner.get('pos_iou_thr', 0.5),
+        neg_iou_thr=assigner.get('neg_iou_thr', 0.5),
+        min_pos_iou=assigner.get('min_pos_iou', 0.2),
+        neg_pos_ratio=train_cfg.get('neg_pos_ratio', 3),
+        smoothl1_beta=train_cfg.get('smoothl1_beta', 1.0),
+        nms_pre=tc.get('nms_pre', 1000),
+        score_thr=tc.get('score_thr', 0.02),
+        nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.45),
+        max_per_img=tc.get('max_per_img', 200))
+
+
 def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None):
     """Build a detector module from a reference-schema config."""
@@ -312,6 +395,34 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
     cfg.pop('pretrained', None)
     if t in ('RetinaNet', 'SingleStageDetector'):
         return build_single_stage(t, cfg, _cfg(train_cfg), _cfg(test_cfg))
+    if t == 'ATSS':
+        from .atss import ATSS, ATSSHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'ATSSHead'
+        anchor_cfg = _cfg(hc.get('anchor_generator'))
+        coder = _cfg(hc.get('bbox_coder'))
+        strides = tuple(anchor_cfg.get('strides', (8, 16, 32, 64, 128)))
+        head = ATSSHead(num_classes=hc.get('num_classes', 80),
+                        in_channels=hc.get('in_channels', 256),
+                        feat_channels=hc.get('feat_channels', 256),
+                        stacked_convs=hc.get('stacked_convs', 4),
+                        num_levels=len(strides))
+        tc = _cfg(test_cfg)
+        trc = _cfg(train_cfg)
+        return ATSS(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80), strides=strides,
+            octave_base_scale=anchor_cfg.get('octave_base_scale', 8),
+            anchor_ratios=tuple(anchor_cfg.get('ratios', (1.0,))),
+            target_means=tuple(coder.get('target_means', (0., 0., 0., 0.))),
+            target_stds=tuple(coder.get('target_stds', (0.1, 0.1, 0.2, 0.2))),
+            assigner_topk=_cfg(trc.get('assigner')).get('topk', 9),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.6),
+            max_per_img=tc.get('max_per_img', 100))
     if t == 'FCOS':
         from .fcos import FCOS, FCOSHead
         backbone = build_backbone(cfg['backbone'])
@@ -338,6 +449,8 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector,
                'CascadeRCNN': TwoStageDetector,
+               'HybridTaskCascade': TwoStageDetector,
+               'PointRend': TwoStageDetector,
                'MaskScoringRCNN': TwoStageDetector}.get(t)
     if det_cls is None:
         raise KeyError(f'unsupported detector {t}')

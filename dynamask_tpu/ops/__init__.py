@@ -1,13 +1,13 @@
 from .roi_align import (roi_align, multilevel_roi_align, simple_roi_align,
                         map_roi_levels)
-from .nms import nms, batched_nms, multiclass_nms
+from .nms import nms, batched_nms, multiclass_nms, soft_nms
 from .paste import paste_masks
 from .deform_conv import deform_conv2d, pack_corners, packed_bilinear_gather
 from .point_sample import point_sample, rel_roi_points_to_img_points
 
 __all__ = [
     'roi_align', 'multilevel_roi_align', 'simple_roi_align', 'map_roi_levels',
-    'nms', 'batched_nms', 'multiclass_nms', 'paste_masks',
+    'nms', 'batched_nms', 'multiclass_nms', 'soft_nms', 'paste_masks',
     'deform_conv2d', 'pack_corners', 'packed_bilinear_gather',
     'point_sample', 'rel_roi_points_to_img_points',
 ]

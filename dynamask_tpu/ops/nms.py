@@ -126,6 +126,63 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return out_boxes, out_scores, out_inds, out_valid
 
 
+@partial(jax.jit, static_argnames=('iou_threshold', 'sigma', 'min_score',
+                                   'method', 'max_out', 'pre_top_k'))
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+             iou_threshold: float = 0.3, sigma: float = 0.5,
+             min_score: float = 1e-3, method: str = 'linear',
+             max_out: int = 100, pre_top_k: int = 1024):
+    """Soft-NMS with static shapes (reference: mmcv soft_nms as used by
+    several stock configs, e.g. cascade test_cfg nms type='soft_nms').
+
+    Sequentially selects the current highest-scoring box and DECAYS (rather
+    than removes) its neighbors: ``linear`` multiplies overlapping scores by
+    (1 - IoU) past ``iou_threshold``; ``gaussian`` by exp(-IoU²/sigma).
+    Exactly ``max_out`` selection steps run (the reference loops until the
+    pool empties; boxes decayed below ``min_score`` are dropped the same
+    way).
+
+    Returns (boxes (max_out, 4), scores (max_out,), keep_inds (max_out,)
+    int32, out_valid (max_out,)).
+    """
+    n = boxes.shape[0]
+    k = min(pre_top_k, n)
+    neg_inf = jnp.float32(-jnp.inf)
+    masked = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
+    if k < n:
+        top_scores, top_idx = jax.lax.approx_max_k(masked, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_boxes = boxes[top_idx]
+
+    def body(i, state):
+        cur_scores, out_scores, out_pos = state
+        best = jnp.argmax(cur_scores)
+        best_score = cur_scores[best]
+        best_box = top_boxes[best]
+        iou = bbox_overlaps(best_box[None], top_boxes)[0]
+        if method == 'gaussian':
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:  # linear
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        new_scores = cur_scores * decay
+        # the selected box leaves the pool; below-min_score boxes die
+        new_scores = new_scores.at[best].set(neg_inf)
+        new_scores = jnp.where(new_scores < min_score, neg_inf, new_scores)
+        out_scores = out_scores.at[i].set(best_score)
+        out_pos = out_pos.at[i].set(best)
+        return new_scores, out_scores, out_pos
+
+    init = (top_scores, jnp.full(max_out, neg_inf), jnp.zeros(max_out,
+                                                              jnp.int32))
+    _, out_scores, out_pos = jax.lax.fori_loop(0, max_out, body, init)
+    out_valid = out_scores > 0.0
+    out_boxes = jnp.where(out_valid[:, None], top_boxes[out_pos], 0.0)
+    out_inds = jnp.where(out_valid, top_idx[out_pos], 0).astype(jnp.int32)
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    return out_boxes, out_scores, out_inds, out_valid
+
+
 @partial(jax.jit, static_argnames=('iou_threshold', 'max_out', 'pre_top_k'))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
                 valid: jnp.ndarray, iou_threshold: float, max_out: int,

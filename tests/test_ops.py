@@ -233,3 +233,62 @@ class TestPasteMasks:
         a = paste_masks(masks, boxes, 32, 32, chunk=3)
         b = paste_masks(masks, boxes, 32, 32, chunk=100)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestSoftNMS:
+    def test_linear_decay_matches_numpy(self):
+        """Greedy soft-NMS (linear) vs a direct numpy implementation."""
+        from dynamask_tpu.ops.nms import soft_nms
+        r = np.random.RandomState(0)
+        n = 40
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = r.uniform(0, 50, n)
+        boxes[:, 1] = r.uniform(0, 50, n)
+        boxes[:, 2] = boxes[:, 0] + r.uniform(10, 30, n)
+        boxes[:, 3] = boxes[:, 1] + r.uniform(10, 30, n)
+        scores = r.uniform(0.1, 1.0, n).astype(np.float32)
+
+        # numpy reference
+        def np_iou(a, b):
+            lt = np.maximum(a[:2], b[:2]); rb = np.minimum(a[2:], b[2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            aa = (a[2]-a[0])*(a[3]-a[1]); bb = (b[2]-b[0])*(b[3]-b[1])
+            return inter / max(aa + bb - inter, 1e-9)
+        pool_s = scores.copy()
+        alive = np.ones(n, bool)
+        exp_idx, exp_score = [], []
+        for _ in range(n):
+            if not alive.any() or pool_s[alive].max() < 1e-3:
+                break
+            cand = np.where(alive, pool_s, -np.inf)
+            b_i = int(np.argmax(cand))
+            exp_idx.append(b_i); exp_score.append(pool_s[b_i])
+            alive[b_i] = False
+            for j in range(n):
+                if alive[j]:
+                    iou = np_iou(boxes[b_i], boxes[j])
+                    if iou > 0.3:
+                        pool_s[j] *= (1.0 - iou)
+                    if pool_s[j] < 1e-3:
+                        alive[j] = False
+
+        ob, osc, oi, ov = soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                   jnp.ones(n, bool), iou_threshold=0.3,
+                                   max_out=n)
+        got = int(np.asarray(ov).sum())
+        assert got == len(exp_idx), (got, len(exp_idx))
+        np.testing.assert_array_equal(np.asarray(oi)[:got], exp_idx)
+        np.testing.assert_allclose(np.asarray(osc)[:got], exp_score,
+                                   rtol=1e-5)
+
+    def test_gaussian_runs(self):
+        from dynamask_tpu.ops.nms import soft_nms
+        boxes = jnp.asarray([[0., 0., 10., 10.], [1., 1., 11., 11.],
+                             [50., 50., 60., 60.]])
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        _, osc, oi, ov = soft_nms(boxes, scores, jnp.ones(3, bool),
+                                  method='gaussian', max_out=3)
+        assert bool(ov[0]) and float(osc[0]) == pytest.approx(0.9)
+        # the overlapping box is decayed but kept (score > min)
+        assert int(np.asarray(ov).sum()) == 3
