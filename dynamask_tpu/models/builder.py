@@ -42,12 +42,22 @@ def build_backbone(cfg: dict):
         cfg.pop('norm_cfg', None)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
         return ResNet(**cfg)
+    if t == 'HRNet':
+        from .hrnet import HRNet
+        cfg.pop('norm_cfg', None)
+        return HRNet(extra=cfg.get('extra'),
+                     norm_eval=cfg.get('norm_eval', True),
+                     frozen_stages=cfg.get('frozen_stages', -1))
     raise KeyError(f'unsupported backbone {t}')
 
 
 def build_neck(cfg: dict):
     cfg = _cfg(cfg)
     t = cfg.pop('type')
+    if t == 'HRFPN':
+        from .hrnet import HRFPN
+        return HRFPN(out_channels=cfg.get('out_channels', 256),
+                     num_outs=cfg.get('num_outs', 5))
     cls = {'FPN': FPN, 'PAFPN': PAFPN}.get(t)
     if cls is None:
         raise KeyError(f'unsupported neck {t}')

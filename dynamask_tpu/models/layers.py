@@ -73,6 +73,15 @@ def max_pool(x: jnp.ndarray, window: int, stride: int,
                        padding=padding)
 
 
+def avg_pool(x: jnp.ndarray, window: int, stride: int,
+             padding: Union[int, str] = 0) -> jnp.ndarray:
+    """Average pool over NHWC."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    return nn.avg_pool(x, (window, window), strides=(stride, stride),
+                       padding=padding)
+
+
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) -> (N, C)."""
     return jnp.mean(x, axis=(1, 2))
