@@ -450,3 +450,65 @@ class Compose:
             if results is None:
                 return None
         return results
+
+
+@PIPELINES.register_module()
+class AutoAugment:
+    """Pick one random augmentation policy per sample
+    (reference pipelines/auto_augment.py:10: each policy is a list of
+    transform configs composed on the fly)."""
+
+    def __init__(self, policies: Sequence[Sequence[Dict]]):
+        assert isinstance(policies, (list, tuple)) and policies, \
+            'Policies must be a non-empty list.'
+        for p in policies:
+            assert isinstance(p, (list, tuple)) and p, \
+                'Each policy must be a non-empty list of transform dicts.'
+        self.policies = [Compose(list(p)) for p in policies]
+
+    def __call__(self, results: Dict) -> Optional[Dict]:
+        rng = results.setdefault('_rng', np.random.RandomState())
+        policy = self.policies[rng.randint(len(self.policies))]
+        return policy(results)
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(policies={len(self.policies)})'
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """Instance-level copy-paste augmentation (reference pipelines/
+    instaboost.py:7). Requires the external ``instaboostfast`` package —
+    exactly like the reference, which imports it lazily; without it this
+    transform raises at construction with a clear message."""
+
+    def __init__(self, action_candidate=('normal', 'horizontal', 'skip'),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        try:
+            import instaboostfast as instaboost
+        except ImportError:
+            raise ImportError(
+                'InstaBoost needs the "instaboostfast" package '
+                '(pip install instaboostfast), matching the reference\'s '
+                'lazy dependency (mmdet/datasets/pipelines/instaboost.py)')
+        self.cfg = instaboost.InstaBoostConfig(
+            action_candidate, action_prob, scale, dx, dy, theta,
+            color_prob, hflag)
+        self.instaboost = instaboost
+        self.aug_ratio = aug_ratio
+
+    def __call__(self, results: Dict) -> Dict:
+        rng = results.setdefault('_rng', np.random.RandomState())
+        if rng.uniform() > self.aug_ratio:
+            return results
+        img = results['img']
+        anns = results.get('_coco_anns')
+        if not anns:
+            return results
+        anns, img = self.instaboost.get_new_data(anns, img, self.cfg,
+                                                 background=None)
+        results['img'] = img
+        results['_coco_anns'] = anns
+        return results

@@ -363,3 +363,81 @@ class DistributionFocalLoss:
     def __call__(self, pred, target, weight=None, avg_factor=None):
         return self.loss_weight * distribution_focal_loss(
             pred, target, weight, avg_factor)
+
+
+def ghm_r_loss(pred, target, label_weight, mu: float = 0.02, bins: int = 10):
+    """Gradient-harmonized regression loss (reference losses/ghm_loss.py:
+    GHMR, stateless momentum=0 form): authentic smooth-L1
+    sqrt(d^2 + mu^2) - mu, re-weighted by inverse gradient-density bins."""
+    diff = pred - target
+    loss = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jax.lax.stop_gradient(
+        jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff)))
+    valid = label_weight > 0
+    total = jnp.maximum(jnp.sum(label_weight), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1)
+    edges = edges.at[-1].set(1e3)
+    weights = jnp.zeros_like(g)
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = jnp.sum(inds)
+        w = jnp.where(num_in_bin > 0,
+                      total / jnp.maximum(num_in_bin, 1.0), 0.0)
+        weights = jnp.where(inds, w, weights)
+    n_nonempty = jnp.maximum(jnp.sum(jnp.asarray(
+        [jnp.any((g >= edges[i]) & (g < edges[i + 1]) & valid)
+         for i in range(bins)]).astype(jnp.float32)), 1.0)
+    weights = weights / n_nonempty
+    return jnp.sum(loss * weights) / total
+
+
+@LOSSES.register_module()
+class GHMR:
+    def __init__(self, mu=0.02, bins=10, momentum=0, loss_weight=1.0):
+        self.mu, self.bins = mu, bins
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight, avg_factor=None):
+        return self.loss_weight * ghm_r_loss(pred, target, label_weight,
+                                             self.mu, self.bins)
+
+
+def bounded_iou_loss(pred, target, beta: float = 0.2, eps: float = 1e-3,
+                     weight=None, avg_factor=None):
+    """Bounded IoU loss (reference losses/iou_loss.py:bounded_iou_loss —
+    "Improving Object Localization with Fitness NMS"): per-coordinate
+    bounded-IoU terms through a smooth-L1 envelope."""
+    px = (pred[..., 0] + pred[..., 2]) * 0.5
+    py = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    tx = jax.lax.stop_gradient((target[..., 0] + target[..., 2]) * 0.5)
+    ty = jax.lax.stop_gradient((target[..., 1] + target[..., 3]) * 0.5)
+    tw = jax.lax.stop_gradient(target[..., 2] - target[..., 0])
+    th = jax.lax.stop_gradient(target[..., 3] - target[..., 1])
+
+    dx = tx - px
+    dy = ty - py
+    loss_dx = 1 - jnp.maximum(
+        (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0)
+    loss_dy = 1 - jnp.maximum(
+        (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+    if weight is not None and weight.ndim < loss.ndim:
+        weight = weight[..., None]
+    return weight_reduce_loss(loss, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class BoundedIoULoss:
+    def __init__(self, beta=0.2, eps=1e-3, loss_weight=1.0):
+        self.beta, self.eps = beta, eps
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * bounded_iou_loss(
+            pred, target, self.beta, self.eps, weight, avg_factor)

@@ -112,3 +112,48 @@ def test_images_to_levels():
     assert levels[0].shape == (2, 8)
     assert levels[1].shape == (2, 4)
     np.testing.assert_array_equal(np.asarray(levels[1][0]), np.arange(8, 12))
+
+
+class TestExtraLosses:
+    def test_ghm_r_matches_torch_reference(self):
+        """GHM-R vs the reference algorithm computed in torch
+        (losses/ghm_loss.py:GHMR, momentum=0)."""
+        import pytest
+        torch = pytest.importorskip('torch')
+        from dynamask_tpu.models.losses import ghm_r_loss
+        r = np.random.RandomState(0)
+        pred = r.randn(30, 4).astype(np.float32) * 0.1
+        tgt = r.randn(30, 4).astype(np.float32) * 0.1
+        lw = (r.rand(30, 4) > 0.2).astype(np.float32)
+        mu, bins = 0.02, 10
+        tp, tt, tl = map(torch.from_numpy, (pred, tgt, lw))
+        diff = tp - tt
+        loss = torch.sqrt(diff * diff + mu * mu) - mu
+        g = torch.abs(diff / torch.sqrt(mu * mu + diff * diff))
+        edges = torch.arange(bins + 1).float() / bins
+        edges[-1] = 1e3
+        weights = torch.zeros_like(g)
+        valid = tl > 0
+        tot = max(tl.sum().item(), 1.0)
+        n = 0
+        for i in range(bins):
+            inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+            nb = inds.sum().item()
+            if nb > 0:
+                n += 1
+                weights[inds] = tot / nb
+        if n > 0:
+            weights /= n
+        ref = float((loss * weights).sum() / tot)
+        got = float(ghm_r_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                               jnp.asarray(lw), mu, bins))
+        assert abs(ref - got) < 1e-5
+
+    def test_bounded_iou_zero_at_match(self):
+        from dynamask_tpu.models.losses import bounded_iou_loss
+        b = jnp.asarray([[2., 3., 12., 14.]])
+        v = float(bounded_iou_loss(b, b, avg_factor=1.0))
+        assert v < 1e-4  # eps in the w/h ratio keeps it off exact zero
+        v2 = float(bounded_iou_loss(
+            b, b + jnp.asarray([1., 1., 1., 1.]), avg_factor=1.0))
+        assert v2 > 0 and np.isfinite(v2)

@@ -252,3 +252,25 @@ class TestResizeModes:
         h, w = out['img'].shape[:2]
         assert max(h, w) <= 120 and min(h, w) <= 60
         assert h == 120 and w == 60
+
+
+class TestAutoAugment:
+    def test_picks_policy_and_applies(self):
+        from dynamask_tpu.data.transforms import AutoAugment
+        img = np.zeros((60, 80, 3), np.uint8)
+        aug = AutoAugment(policies=[
+            [dict(type='Resize', img_scale=(40, 30), keep_ratio=False)],
+            [dict(type='Resize', img_scale=(20, 10), keep_ratio=False)],
+        ])
+        seen = set()
+        for seed in range(10):
+            out = aug({'img': img.copy(),
+                       '_rng': np.random.RandomState(seed)})
+            seen.add(out['img'].shape[:2])
+        assert seen <= {(30, 40), (10, 20)}
+        assert len(seen) == 2  # both policies get picked across seeds
+
+    def test_instaboost_missing_dep_message(self):
+        from dynamask_tpu.data.transforms import InstaBoost
+        with pytest.raises(ImportError, match='instaboostfast'):
+            InstaBoost()
