@@ -292,3 +292,24 @@ class TestSoftNMS:
         assert bool(ov[0]) and float(osc[0]) == pytest.approx(0.9)
         # the overlapping box is decayed but kept (score > min)
         assert int(np.asarray(ov).sum()) == 3
+
+
+class TestPallasWindowedDCN:
+    def test_matches_xla_windowed(self):
+        """Interpret-mode exactness vs the XLA windowed path (the default;
+        see the kernel docstring for the recorded v5e profile that keeps
+        XLA the default)."""
+        from dynamask_tpu.ops.deform_conv import deform_conv2d
+        from dynamask_tpu.ops.deform_conv_pallas import (
+            deform_conv2d_windowed_pallas)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (3, 12, 12, 8), jnp.float32)
+        off = jax.random.uniform(key, (3, 12, 12, 36), minval=-2.0,
+                                 maxval=2.0)
+        w = jax.random.normal(key, (3, 3, 8, 16)) * 0.1
+        ref = deform_conv2d(x, off, w, deform_groups=2, roi_chunk=0,
+                            window=3)
+        got = deform_conv2d_windowed_pallas(x, off, w, deform_groups=2,
+                                            window=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
