@@ -156,3 +156,16 @@ def show_result(img: np.ndarray, result, classes: Sequence[str],
     if out_file:
         cv2.imwrite(out_file, canvas)
     return canvas
+
+
+async def async_inference_detector(model: Detector,
+                                   img: Union[str, np.ndarray]):
+    """Async single-image inference (reference apis/inference.py:119-144).
+
+    JAX dispatch is already asynchronous; this wrapper keeps the host-side
+    preprocessing + device round-trip off the event loop so concurrent
+    requests interleave (the reference used CUDA streams for the same
+    purpose)."""
+    import asyncio
+    loop = asyncio.get_event_loop()
+    return await loop.run_in_executor(None, inference_detector, model, img)

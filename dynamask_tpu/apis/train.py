@@ -94,6 +94,12 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
     logger.info(f'{len(dataset)} images, {steps_per_epoch} steps/epoch')
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f'global batch (samples_per_gpu={cfg.data["samples_per_gpu"]} x '
+            f'{n_dev} devices) exceeds the dataset ({len(dataset)} images) '
+            f'— no full batch can form. Reduce samples_per_gpu or pass '
+            f'devices=jax.devices()[:k].')
 
     det = build_detector(cfg.model, cfg.get('train_cfg'), cfg.get('test_cfg'))
 

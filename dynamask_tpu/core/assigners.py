@@ -238,3 +238,70 @@ class ATSSAssigner:
         else:
             labels = jnp.full(n, -1, jnp.int32)
         return AssignResult(assigned, max_overlaps, labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class PointAssigner:
+    """Point-to-GT assignment for RepPoints-style heads (reference
+    assigners/point_assigner.py:9-128), static-shape recast.
+
+    A point is positive for a GT iff (i) its pyramid level equals the GT's
+    scale level, (ii) it is among the ``pos_num`` closest same-level points
+    to the GT center (distance normalized by GT extent), and (iii) no other
+    GT claims it at a smaller normalized distance — the reference's
+    sequential "closer than recorded" loop is exactly a per-point argmin
+    over candidate GTs.
+    """
+
+    def __init__(self, scale: int = 4, pos_num: int = 3, **kwargs):
+        self.scale = scale
+        self.pos_num = pos_num
+
+    def __call__(self, points, point_valid, gt_boxes, gt_valid,
+                 gt_labels=None, **kwargs) -> AssignResult:
+        """points: (N, 3) [x, y, stride]."""
+        n = points.shape[0]
+        num_gts = gt_boxes.shape[0]
+        point_valid = point_valid.astype(bool)
+        gt_valid = gt_valid.astype(bool)
+
+        pxy = points[:, :2]
+        plvl = jnp.round(jnp.log2(jnp.maximum(points[:, 2], 1.0))
+                         ).astype(jnp.int32)
+        lvl_min = jnp.min(jnp.where(point_valid, plvl, 10 ** 6))
+        lvl_max = jnp.max(jnp.where(point_valid, plvl, -10 ** 6))
+
+        gxy = (gt_boxes[:, :2] + gt_boxes[:, 2:]) * 0.5
+        gwh = jnp.maximum(gt_boxes[:, 2:] - gt_boxes[:, :2], 1e-6)
+        glvl = ((jnp.log2(gwh[:, 0] / self.scale) +
+                 jnp.log2(gwh[:, 1] / self.scale)) * 0.5).astype(jnp.int32)
+        glvl = jnp.clip(glvl, lvl_min, lvl_max)
+
+        # normalized center distance per (gt, point); off-level -> inf
+        d = jnp.linalg.norm(
+            (pxy[None, :, :] - gxy[:, None, :]) / gwh[:, None, :], axis=-1)
+        same_lvl = (plvl[None, :] == glvl[:, None]) & point_valid[None, :]
+        d = jnp.where(same_lvl & gt_valid[:, None], d, jnp.inf)
+
+        k = min(self.pos_num, n)
+        kth = -jax.lax.top_k(-d, k)[0][:, -1]          # k-th smallest per gt
+        # NOTE: exact distance ties at the k-th slot all qualify here, where
+        # the reference's torch.topk breaks ties by index — measure-zero for
+        # real geometry
+        candidate = d <= kth[:, None]
+        d_cand = jnp.where(candidate, d, jnp.inf)
+        best_gt = jnp.argmin(d_cand, axis=0)
+        best_d = jnp.min(d_cand, axis=0)
+        assigned = jnp.where(jnp.isfinite(best_d),
+                             best_gt.astype(jnp.int32) + 1, 0)
+        assigned = jnp.where(point_valid, assigned, -1)
+
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, num_gts - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe],
+                               -1).astype(jnp.int32)
+        else:
+            labels = jnp.full(n, -1, jnp.int32)
+        max_overlaps = jnp.where(jnp.isfinite(best_d), 1.0 / (1.0 + best_d),
+                                 0.0)
+        return AssignResult(assigned, max_overlaps, labels)

@@ -169,3 +169,41 @@ def test_add_gt_as_proposals():
                                        gts, jnp.array([True, True, False]))
     assert boxes.shape == (13, 4)
     np.testing.assert_array_equal(np.asarray(valid)[:3], [True, True, False])
+
+
+class TestPointAssigner:
+    def test_level_and_topk(self):
+        import jax.numpy as jnp
+        from dynamask_tpu.core.assigners import PointAssigner
+        a = PointAssigner(scale=4, pos_num=1)
+        pts = jnp.asarray([
+            [14., 14., 8.], [50., 50., 8.],   # level 3
+            [16., 16., 16.],                  # level 4
+        ])
+        # gt wh=32 -> lvl log2(32/4)=3 -> level-3 points only
+        gts = jnp.asarray([[0., 0., 32., 32.]])
+        res = a(pts, jnp.ones(3, bool), gts, jnp.ones(1, bool),
+                jnp.asarray([5]))
+        g = np.asarray(res.gt_inds)
+        assert g[0] == 1          # nearest level-3 point to center
+        assert g[1] == 0          # same level, not in top-1
+        assert g[2] == 0          # wrong level
+        assert np.asarray(res.labels)[0] == 5
+
+    def test_conflict_goes_to_closer_gt(self):
+        import jax.numpy as jnp
+        from dynamask_tpu.core.assigners import PointAssigner
+        a = PointAssigner(scale=4, pos_num=3)
+        pts = jnp.asarray([[10., 10., 8.]])
+        gts = jnp.asarray([[0., 0., 32., 32.],     # center (16,16)
+                           [2., 2., 18., 18.]])    # center (10,10) closer
+        res = a(pts, jnp.ones(1, bool), gts, jnp.ones(2, bool),
+                jnp.asarray([1, 2]))
+        assert int(np.asarray(res.gt_inds)[0]) == 2
+
+
+class TestAsyncInference:
+    def test_coroutine_exists(self):
+        import asyncio
+        from dynamask_tpu.apis import async_inference_detector
+        assert asyncio.iscoroutinefunction(async_inference_detector)

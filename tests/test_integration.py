@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import jax
 import pytest
 
 pytestmark = pytest.mark.slow
@@ -75,8 +76,12 @@ def test_train_and_eval_loop(tmp_path, roi_head_type):
         cfg.model.roi_head.bbox_head['num_classes'] = 2
         cfg.model.roi_head.mask_head['stage_num_classes'] = [2, 2, 2, 1]
 
+    # single device: the 8-virtual-device conftest mesh would scale the
+    # global batch past this 4-image toy dataset (sharded-vs-single parity
+    # has its own test in test_sharded.py)
     state = train_detector(cfg, work_dir=str(tmp_path / 'work'), seed=0,
-                           max_steps_per_epoch=2)
+                           max_steps_per_epoch=2,
+                           devices=jax.devices()[:1])
     assert int(np.asarray(state.step)) == 2
     assert (tmp_path / 'work' / 'epoch_1').exists()
     assert (tmp_path / 'work' / 'latest').exists()
