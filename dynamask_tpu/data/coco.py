@@ -239,3 +239,14 @@ def build_dataset(cfg: dict, default_args: Optional[dict] = None):
         for k, v in default_args.items():
             cfg.setdefault(k, v)
     return DATASETS.build(dict(type=t, **cfg))
+
+
+DEEPFASHION_CLASSES = ('top', 'skirt', 'leggings', 'dress', 'outer', 'pants',
+                       'bag', 'neckwear', 'headwear', 'eyeglass', 'belt',
+                       'footwear', 'hair', 'skin', 'face')
+
+
+@DATASETS.register_module()
+class DeepFashionDataset(CocoDataset):
+    """reference datasets/deepfashion.py — COCO format, 15 fashion classes."""
+    CLASSES = DEEPFASHION_CLASSES

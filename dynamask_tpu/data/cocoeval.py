@@ -58,9 +58,14 @@ class CocoEvaluator:
 
     def __init__(self, gt_anns: List[dict], img_ids: Sequence[int],
                  cat_ids: Sequence[int], iou_type: str = 'bbox',
-                 img_sizes: Optional[Dict[int, Sequence[int]]] = None):
+                 img_sizes: Optional[Dict[int, Sequence[int]]] = None,
+                 iou_thrs: Optional[Sequence[float]] = None):
         assert iou_type in ('bbox', 'segm')
         self.iou_type = iou_type
+        # custom thresholds support tools/coco_error_analysis.py (e.g. a
+        # single 0.1 threshold for localization-error APs)
+        self.iou_thrs = np.asarray(iou_thrs if iou_thrs is not None
+                                   else IOU_THRS)
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
         self.img_sizes = img_sizes or {}
@@ -73,7 +78,7 @@ class CocoEvaluator:
         for d in det_anns:
             det_by_key[(d['image_id'], d['category_id'])].append(d)
 
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         k_num = len(self.cat_ids)
         a_num = len(AREA_RNGS)
         m_num = len(MAX_DETS)
@@ -138,7 +143,7 @@ class CocoEvaluator:
 
     def _accumulate(self, per_img, arng, maxdet, precision, recall,
                     ki, ai, mi):
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         all_scores, all_matched, all_ignored = [], [], []
         n_gt = 0
         for rec in per_img:
@@ -154,7 +159,7 @@ class CocoEvaluator:
             gt_m = -np.ones((t, len(g_ignore)), np.int64)
             # greedy: gts sorted ignore-last (COCOeval sorts gtind by _ignore)
             order = np.argsort(g_ignore, kind='stable')
-            for ti, thr in enumerate(IOU_THRS):
+            for ti, thr in enumerate(self.iou_thrs):
                 for di in range(d):
                     best, best_iou = -1, min(thr, 1 - 1e-10)
                     for gi in order:
@@ -221,7 +226,10 @@ class CocoEvaluator:
             mi = MAX_DETS.index(maxdet)
             p = precision[:, :, :, ai, mi]
             if iou is not None:
-                p = p[[np.where(np.isclose(IOU_THRS, iou))[0][0]]]
+                hit = np.where(np.isclose(self.iou_thrs, iou))[0]
+                if hit.size == 0:   # custom-threshold runs lack this slice
+                    return -1.0
+                p = p[[hit[0]]]
             p = p[p > -1]
             return float(p.mean()) if p.size else -1.0
 

@@ -1,5 +1,5 @@
 from .roi_align import (roi_align, multilevel_roi_align, simple_roi_align,
-                        map_roi_levels)
+                        map_roi_levels, generic_roi_align)
 from .nms import nms, batched_nms, multiclass_nms, soft_nms
 from .paste import paste_masks
 from .deform_conv import deform_conv2d, pack_corners, packed_bilinear_gather
@@ -7,6 +7,7 @@ from .point_sample import point_sample, rel_roi_points_to_img_points
 
 __all__ = [
     'roi_align', 'multilevel_roi_align', 'simple_roi_align', 'map_roi_levels',
+    'generic_roi_align',
     'nms', 'batched_nms', 'multiclass_nms', 'soft_nms', 'paste_masks',
     'deform_conv2d', 'pack_corners', 'packed_bilinear_gather',
     'point_sample', 'rel_roi_points_to_img_points',

@@ -256,3 +256,30 @@ def simple_roi_align(features: jnp.ndarray, rois: jnp.ndarray,
     one centred bilinear tap equals the adaptive rule."""
     return roi_align(features, rois, roi_batch, out_size, spatial_scale,
                      sampling_ratio=sampling_ratio, aligned=True)
+
+
+@partial(jax.jit, static_argnames=('out_size', 'featmap_strides',
+                                   'sampling_ratio', 'aggregation',
+                                   'aligned'))
+def generic_roi_align(features: Sequence[jnp.ndarray],
+                      rois: jnp.ndarray,
+                      roi_batch: jnp.ndarray,
+                      out_size: int,
+                      featmap_strides: Tuple[int, ...],
+                      sampling_ratio: int = 2,
+                      aggregation: str = 'sum',
+                      aligned: bool = True) -> jnp.ndarray:
+    """GenericRoIExtractor semantics (reference roi_extractors/
+    generic_roi_extractor.py:9-80): every RoI pools from ALL pyramid levels
+    and the per-level crops aggregate by 'sum' or 'concat' — no level
+    routing."""
+    assert aggregation in ('sum', 'concat')
+    crops = [roi_align(f, rois, roi_batch, out_size, 1.0 / s,
+                       sampling_ratio=sampling_ratio, aligned=aligned)
+             for f, s in zip(features, featmap_strides)]
+    if aggregation == 'sum':
+        out = crops[0]
+        for c in crops[1:]:
+            out = out + c
+        return out
+    return jnp.concatenate(crops, axis=-1)

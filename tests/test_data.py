@@ -274,3 +274,32 @@ class TestAutoAugment:
         from dynamask_tpu.data.transforms import InstaBoost
         with pytest.raises(ImportError, match='instaboostfast'):
             InstaBoost()
+
+
+class TestErrorAnalysis:
+    def test_gt_as_predictions_decomposition(self, tmp_path):
+        """With perfect predictions the decomposition is all-localization:
+        C75 = 1 and the BG+FN gap is 0."""
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_data import make_synthetic_coco
+        from dynamask_tpu.data import build_dataset
+        from tools.coco_error_analysis import _ap_for
+
+        ann_file, img_dir = make_synthetic_coco(tmp_path, num_imgs=3)
+        ds = build_dataset(dict(type='CocoDataset', ann_file=ann_file,
+                                img_prefix=img_dir, pipeline=[],
+                                classes=['person', 'car']),
+                           default_args=dict(test_mode=True))
+        gt_anns = [a for anns in ds.coco.img_anns.values() for a in anns]
+        dets = [dict(a, score=0.9) for a in gt_anns
+                if not a.get('iscrowd', 0)]
+        img_ids = list(ds.coco.img_ids)
+        sizes = {i['id']: (i['height'], i['width']) for i in ds.img_infos}
+        c75 = _ap_for(gt_anns, img_ids, ds.cat_ids, dets, 0.75, 'bbox',
+                      sizes)
+        ag = _ap_for([dict(g, category_id=1) for g in gt_anns], img_ids,
+                     [1], [dict(d, category_id=1) for d in dets], 0.10,
+                     'bbox', sizes)
+        assert c75 == pytest.approx(1.0, abs=1e-6)
+        assert 1.0 - ag == pytest.approx(0.0, abs=1e-6)
