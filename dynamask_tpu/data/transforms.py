@@ -512,3 +512,28 @@ class InstaBoost:
         results['img'] = img
         results['_coco_anns'] = anns
         return results
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """Image corruption augmentation (reference pipelines/transforms.py:958).
+    Requires the external ``imagecorruptions`` package, like the reference's
+    lazy import; raises a clear error at construction without it."""
+
+    def __init__(self, corruption: str, severity: int = 1):
+        try:
+            from imagecorruptions import corrupt  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                'Corrupt needs the "imagecorruptions" package '
+                '(pip install imagecorruptions), matching the reference\'s '
+                'lazy dependency (pipelines/transforms.py:958)')
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results: Dict) -> Dict:
+        from imagecorruptions import corrupt
+        results['img'] = corrupt(
+            results['img'].astype(np.uint8),
+            corruption_name=self.corruption, severity=self.severity)
+        return results

@@ -303,3 +303,10 @@ class TestErrorAnalysis:
                      'bbox', sizes)
         assert c75 == pytest.approx(1.0, abs=1e-6)
         assert 1.0 - ag == pytest.approx(0.0, abs=1e-6)
+
+
+class TestCorrupt:
+    def test_missing_dep_message(self):
+        from dynamask_tpu.data.transforms import Corrupt
+        with pytest.raises(ImportError, match='imagecorruptions'):
+            Corrupt('gaussian_noise')
