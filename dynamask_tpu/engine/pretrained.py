@@ -80,6 +80,26 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 # ------------------------------------------------------------ key translation
 
+# torchvision/mmcv VGG-16 'features.N' conv indices -> SSDVGG conv names
+_VGG16_FEATURE_MAP = {
+    0: 'conv1_1', 2: 'conv1_2',
+    5: 'conv2_1', 7: 'conv2_2',
+    10: 'conv3_1', 12: 'conv3_2', 14: 'conv3_3',
+    17: 'conv4_1', 19: 'conv4_2', 21: 'conv4_3',
+    24: 'conv5_1', 26: 'conv5_2', 28: 'conv5_3',
+}
+
+
+def _vgg_key(key: str) -> Optional[Tuple[List[str], str]]:
+    # torchvision/mmcv VGG 'features.N.weight' -> SSDVGG conv names
+    m = re.match(r'^features\.(\d+)\.(weight|bias)$', key)
+    if m:
+        name = _VGG16_FEATURE_MAP.get(int(m.group(1)))
+        if name is not None:
+            return [name], m.group(2)
+    return None
+
+
 def _resnet_key(key: str) -> Optional[Tuple[List[str], str]]:
     """torchvision/mmdet ResNet key -> (flax path under backbone, kind)."""
     m = re.match(r'^(conv1|bn1)\.(.+)$', key)
@@ -214,9 +234,13 @@ def convert_torch_weights(state_dict: Dict[str, np.ndarray],
     params = jax.tree_util.tree_map(lambda x: x, params)    # shallow copies
     batch_stats = jax.tree_util.tree_map(lambda x: x, batch_stats)
     if scope == 'auto':
-        scope = ('mmdet' if any(k.startswith(('backbone.', 'neck.',
-                                              'rpn_head.', 'roi_head.'))
-                                for k in state_dict) else 'resnet')
+        if any(k.startswith(('backbone.', 'neck.', 'rpn_head.',
+                             'roi_head.')) for k in state_dict):
+            scope = 'mmdet'
+        elif any(k.startswith('features.') for k in state_dict):
+            scope = 'vgg'
+        else:
+            scope = 'resnet'
 
     report = {'loaded': [], 'skipped': [], 'mismatched': []}
     # bare torchvision keys may target either a detector tree (params has a
@@ -224,7 +248,14 @@ def convert_torch_weights(state_dict: Dict[str, np.ndarray],
     backbone_prefix = ['backbone'] if 'backbone' in params else []
 
     for key, value in state_dict.items():
-        if scope == 'resnet':
+        if scope == 'vgg':
+            r = _vgg_key(key)
+            if r is None:
+                report['skipped'].append(key)
+                continue
+            path, leaf = backbone_prefix + r[0], r[1]
+            hints = {}
+        elif scope == 'resnet':
             r = _resnet_key(key)
             if r is None:
                 report['skipped'].append(key)

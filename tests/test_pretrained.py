@@ -214,3 +214,29 @@ class TestResolve:
         loaded = load_torch_state_dict(p)
         assert loaded['conv1.weight'].shape == (4, 3, 3, 3)
         assert resolve_pretrained_path(p) == p
+
+
+class TestVGGImport:
+    def test_vgg16_features_mapping(self):
+        """torchvision/mmcv 'features.N' VGG-16 keys land on the SSDVGG conv
+        names with the OIHW->HWIO layout."""
+        import jax
+        from dynamask_tpu.engine.pretrained import convert_torch_weights
+        from dynamask_tpu.models.ssd import SSDVGG
+        plan = [(0, 64, 3), (2, 64, 64), (5, 128, 64), (7, 128, 128),
+                (10, 256, 128), (12, 256, 256), (14, 256, 256),
+                (17, 512, 256), (19, 512, 512), (21, 512, 512),
+                (24, 512, 512), (26, 512, 512), (28, 512, 512)]
+        r = np.random.RandomState(0)
+        sd = {}
+        for idx, o, i in plan:
+            sd[f'features.{idx}.weight'] = \
+                r.randn(o, i, 3, 3).astype('float32') * 0.05
+            sd[f'features.{idx}.bias'] = r.randn(o).astype('float32') * 0.05
+        m = SSDVGG()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+        params, _, rep = convert_torch_weights(sd, v['params'], {})
+        assert len(rep['loaded']) == 26 and not rep['mismatched'], rep
+        np.testing.assert_allclose(
+            np.asarray(params['conv4_3']['kernel']),
+            sd['features.21.weight'].transpose(2, 3, 1, 0))
