@@ -279,10 +279,44 @@ class OHEMSampler(RandomSampler):
 
 @BBOX_SAMPLERS.register_module()
 class CombinedSampler(RandomSampler):
-    """Config-compat alias: pos/neg sampler combination (reference
-    samplers/combined_sampler.py). The static pipeline expresses the common
-    combination (InstanceBalancedPos + IoUBalancedNeg) directly."""
-    pass
+    """Compose a positive-sampling strategy with a negative one (reference
+    samplers/combined_sampler.py: ``pos_sampler``/``neg_sampler`` sub-configs
+    constructed with the parent's num/pos_fraction, then ``_sample_pos``
+    delegates to one and ``_sample_neg`` to the other).
+
+    Static-shape form: both sub-samplers run on the same assignment with the
+    shared budget; the combined result takes positive slots from
+    ``pos_sampler``'s output and the rest from ``neg_sampler``'s. The slot
+    counts line up because every sampler packs positives first and selects
+    the same number of them — min(#pos candidates, round(num*pos_fraction))
+    — regardless of *which* positives its strategy prefers."""
+
+    def __init__(self, num, pos_fraction, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True,
+                 pos_sampler: Optional[dict] = None,
+                 neg_sampler: Optional[dict] = None, **kwargs):
+        super().__init__(num, pos_fraction, neg_pos_ub, add_gt_as_proposals)
+        common = dict(num=num, pos_fraction=pos_fraction,
+                      neg_pos_ub=neg_pos_ub,
+                      add_gt_as_proposals=add_gt_as_proposals)
+        self.pos_sampler = (BBOX_SAMPLERS.build(dict(pos_sampler), **common)
+                            if pos_sampler else RandomSampler(**common))
+        self.neg_sampler = (BBOX_SAMPLERS.build(dict(neg_sampler), **common)
+                            if neg_sampler else RandomSampler(**common))
+
+    def __call__(self, rng, assign: AssignResult, boxes, gt_boxes,
+                 gt_valid=None) -> SamplingResult:
+        rp = self.pos_sampler(jax.random.fold_in(rng, 101), assign, boxes,
+                              gt_boxes, gt_valid)
+        rn = self.neg_sampler(jax.random.fold_in(rng, 202), assign, boxes,
+                              gt_boxes, gt_valid)
+        pick = rp.is_pos
+
+        def sel(a, b):
+            p = pick.reshape(pick.shape + (1,) * (a.ndim - 1))
+            return jnp.where(p, a, b)
+
+        return SamplingResult(*(sel(a, b) for a, b in zip(rp, rn)))
 
 
 @BBOX_SAMPLERS.register_module()

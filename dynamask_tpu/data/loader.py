@@ -53,7 +53,11 @@ class GroupedBatchSampler:
             total = self.batch_size * self.num_shards
             pad = (-len(idxs)) % total
             if pad and not self.drop_last:
-                idxs = np.concatenate([idxs, idxs[:pad]])
+                # tile (np.resize wraps as many times as needed) so groups
+                # smaller than the global batch still pad to a full multiple
+                # — a wrap-slice `idxs[:pad]` would fall short and silently
+                # drop the group's tail chunk downstream
+                idxs = np.resize(idxs, len(idxs) + pad)
             elif self.drop_last:
                 idxs = idxs[:len(idxs) - (len(idxs) % total)]
             for s in range(0, len(idxs), total):

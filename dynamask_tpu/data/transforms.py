@@ -99,8 +99,9 @@ class Resize:
         else:
             # exact-size resize (reference Resize keep_ratio=False,
             # mmdet/datasets/pipelines/transforms.py:25 — SSD-style):
-            # scale is (w, h) in mmcv convention for fixed resize.
-            new_w, new_h = max(scale), min(scale)
+            # scale is (w, h) in mmcv convention for fixed resize; honor the
+            # tuple order so portrait targets are not transposed.
+            new_w, new_h = scale
         if (new_w, new_h) != (w, h):
             img = cv2.resize(img, (new_w, new_h),
                              interpolation=cv2.INTER_LINEAR)
@@ -536,4 +537,186 @@ class Corrupt:
         results['img'] = corrupt(
             results['img'].astype(np.uint8),
             corruption_name=self.corruption, severity=self.severity)
+        return results
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Albumentations wrapper (reference pipelines/transforms.py:1002).
+    Requires the external ``albumentations`` package — a lazy dependency
+    exactly like the reference's; raises a clear error without it.
+
+    Box conversion follows the reference: pascal_voc <-> internal xyxy with
+    ``filter_lost_elements`` dropping annotations albumentations discards.
+    """
+
+    def __init__(self, transforms, bbox_params=None,
+                 keymap=None, update_pad_shape=False,
+                 skip_img_without_anno=False):
+        try:
+            import albumentations
+            from albumentations import Compose as AlbuCompose
+        except ImportError:
+            raise ImportError(
+                'Albu needs the "albumentations" package '
+                '(pip install albumentations), matching the reference\'s '
+                'lazy dependency (pipelines/transforms.py:1002)')
+        self.filter_lost_elements = False
+        if bbox_params is not None:
+            bp = dict(bbox_params)
+            if 'label_fields' in bp:
+                self.filter_lost_elements = True
+                self.origin_label_fields = bp['label_fields']
+                bp['label_fields'] = ['idx_mapper']
+            bbox_params = albumentations.BboxParams(**bp)
+        self.aug = AlbuCompose(
+            [self._build(t, albumentations) for t in transforms],
+            bbox_params=bbox_params)
+        self.keymap = keymap or {'img': 'image', 'gt_bboxes': 'bboxes'}
+        self.keymap_back = {v: k for k, v in self.keymap.items()}
+        self.update_pad_shape = update_pad_shape
+        self.skip_img_without_anno = skip_img_without_anno
+
+    def _build(self, cfg, albumentations):
+        cfg = dict(cfg)
+        t = cfg.pop('type')
+        cls = getattr(albumentations, t)
+        if 'transforms' in cfg:
+            cfg['transforms'] = [self._build(c, albumentations)
+                                 for c in cfg['transforms']]
+        return cls(**cfg)
+
+    def __call__(self, results: Dict) -> Dict:
+        mapped = {self.keymap.get(k, k): v for k, v in results.items()}
+        if 'bboxes' in mapped and isinstance(mapped['bboxes'], np.ndarray):
+            mapped['bboxes'] = [tuple(b) for b in mapped['bboxes']]
+            if self.filter_lost_elements:
+                mapped['idx_mapper'] = list(range(len(mapped['bboxes'])))
+        mapped = self.aug(**mapped)
+        if 'bboxes' in mapped:
+            mapped['bboxes'] = np.asarray(
+                mapped['bboxes'], np.float32).reshape(-1, 4)
+            if self.filter_lost_elements:
+                keep = mapped.pop('idx_mapper')
+                for field in self.origin_label_fields:
+                    if field in mapped:
+                        mapped[field] = np.asarray(
+                            [mapped[field][i] for i in range(len(keep))])
+                for k in ('gt_labels',):
+                    if k in results:
+                        mapped[k] = np.asarray(results[k])[keep]
+                if 'gt_masks' in results:
+                    mapped['gt_masks'] = [results['gt_masks'][i]
+                                          for i in keep]
+                if (not len(mapped['bboxes'])
+                        and self.skip_img_without_anno):
+                    return None
+        out = {self.keymap_back.get(k, k): v for k, v in mapped.items()}
+        out['img_shape'] = out['img'].shape
+        return out
+
+
+@PIPELINES.register_module()
+class RandomCenterCropPad:
+    """Random center crop with around-padding (CornerNet-style; reference
+    pipelines/transforms.py:1197-1470).
+
+    Train: pick ratio from ``ratios`` -> target (h, w) = crop_size * ratio;
+    pick a random center inside the border-shrunk center range; paste the
+    overlap of the original image into a mean-filled canvas with centers
+    aligned; keep only GTs whose centers fall in the cropped patch.
+    Test: mean-pad the image around its center to ``logical_or`` /
+    ``size_divisor`` extents.
+    """
+
+    def __init__(self, crop_size=None, ratios=(0.9, 1.0, 1.1), border=128,
+                 mean=None, std=None, to_rgb=None, test_mode=False,
+                 test_pad_mode=('logical_or', 127)):
+        assert mean is not None and std is not None and to_rgb is not None
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        self.mean = list(mean[::-1]) if to_rgb else list(mean)
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+
+    @staticmethod
+    def _get_border(border, size):
+        # shrink the border until the center range is non-empty
+        # (transforms.py:1326-1341)
+        k = 2 * border / size
+        i = pow(2, np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return int(border // i)
+
+    def _crop_paste(self, image, center_y, center_x, th, tw):
+        h, w, c = image.shape
+        x0 = max(0, center_x - tw // 2)
+        x1 = min(center_x + tw // 2, w)
+        y0 = max(0, center_y - th // 2)
+        y1 = min(center_y + th // 2, h)
+        patch = np.array((int(x0), int(y0), int(x1), int(y1)))
+        left, right = center_x - x0, x1 - center_x
+        top, bottom = center_y - y0, y1 - center_y
+        cy, cx = th // 2, tw // 2
+        canvas = np.empty((th, tw, c), dtype=image.dtype)
+        canvas[...] = np.asarray(self.mean, dtype=image.dtype)
+        canvas[cy - top:cy + bottom, cx - left:cx + right] = \
+            image[y0:y1, x0:x1]
+        return canvas, (cx - left - x0, cy - top - y0), patch
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        if self.test_mode:
+            mode, value = self.test_pad_mode
+            if mode == 'logical_or':
+                th, tw = h | value, w | value
+            else:
+                th = int(np.ceil(h / value) * value)
+                tw = int(np.ceil(w / value) * value)
+            canvas, (dx, dy), _ = self._crop_paste(img, h // 2, w // 2,
+                                                   th, tw)
+            results['img'] = canvas
+            results['img_shape'] = canvas.shape
+            if 'gt_bboxes' in results and len(results['gt_bboxes']):
+                results['gt_bboxes'] = results['gt_bboxes'] + np.array(
+                    [dx, dy, dx, dy], np.float32)
+            return results
+
+        rng = results.setdefault('_rng', np.random.RandomState())
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        for _ in range(100):
+            scale = self.ratios[rng.randint(len(self.ratios))]
+            th = int(self.crop_size[0] * scale)
+            tw = int(self.crop_size[1] * scale)
+            hb = self._get_border(self.border, h)
+            wb = self._get_border(self.border, w)
+            cx = rng.randint(wb, max(w - wb, wb + 1))
+            cy = rng.randint(hb, max(h - hb, hb + 1))
+            canvas, (dx, dy), patch = self._crop_paste(img, cy, cx, th, tw)
+            if len(boxes):
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = ((centers[:, 0] > patch[0]) &
+                        (centers[:, 1] > patch[1]) &
+                        (centers[:, 0] < patch[2]) &
+                        (centers[:, 1] < patch[3]))
+                if not keep.any():
+                    continue
+            else:
+                keep = np.zeros((0,), bool)
+            results['img'] = canvas
+            results['img_shape'] = canvas.shape
+            if len(boxes):
+                new = boxes[keep] + np.array([dx, dy, dx, dy], np.float32)
+                new[:, 0::2] = np.clip(new[:, 0::2], 0, tw)
+                new[:, 1::2] = np.clip(new[:, 1::2], 0, th)
+                results['gt_bboxes'] = new
+                if 'gt_labels' in results:
+                    results['gt_labels'] = results['gt_labels'][keep]
+                if 'gt_masks' in results:
+                    masks = [m for m, k in zip(results['gt_masks'], keep)
+                             if k]
+                    results['gt_masks'] = [_shift_segm(m, dx, dy)
+                                           for m in masks]
+            return results
         return results

@@ -191,21 +191,20 @@ def _convert_leaf(value: np.ndarray, torch_leaf: str, flax_target,
             return ['kernel'], value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         if value.ndim == 2:
             if hints.get('flatten_chw') and flax_target is not None:
-                in_flax = flax_target.shape[0]
                 out_f = value.shape[0]
                 chw = value.shape[1]
-                # infer (C, H, W): torch flattens C*H*W with the known RoI
-                # square spatial extent; C = chw / (h*w)
-                hw = int(round((in_flax // max(value.shape[1] //
-                                               in_flax, 1)) ** 0.5))
-                # robust inference: try common channel counts
-                for c in (256, 1024, 512, 128, 64):
-                    if chw % c == 0:
-                        s = int(round((chw // c) ** 0.5))
-                        if s * s * c == chw:
-                            w = value.reshape(out_f, c, s, s)
-                            w = w.transpose(2, 3, 1, 0)  # H, W, C, out
-                            return ['kernel'], w.reshape(s * s * c, out_f)
+                # infer (C, H, W): torch flattens C*H*W over the RoI's square
+                # spatial extent. Derive C from the known roi_feat_size
+                # (7 in every reference bbox-head config,
+                # convfc_bbox_head.py:9; 14 kept as a fallback) — deriving
+                # the channel count from a fixed candidate list instead
+                # mis-factorizes e.g. 1024ch 7x7 (= 256ch 14x14).
+                for s in (hints.get('roi_feat_size', 7), 14):
+                    if chw % (s * s) == 0:
+                        c = chw // (s * s)
+                        w = value.reshape(out_f, c, s, s)
+                        w = w.transpose(2, 3, 1, 0)  # H, W, C, out
+                        return ['kernel'], w.reshape(s * s * c, out_f)
             return ['kernel'], value.T
         if value.ndim == 1:  # batchnorm weight
             return ['scale'], value

@@ -152,8 +152,10 @@ class DynaMaskRoIHead(StandardRoIHead):
     def setup(self):
         # the MSM is built unconditionally by the reference BaseRoIHead
         # (base_roi_head.py:53-58); remat'ed — its 56²×256 crop input
-        # otherwise sits in HBM for the backward
-        self.mask_predictor = nn.remat(MaskPre, static_argnums=(2,))()
+        # otherwise sits in HBM for the backward. One routing choice per
+        # cascade resolution (4 in the flagship config).
+        self.mask_predictor = nn.remat(MaskPre, static_argnums=(2,))(
+            num_choices=len(self.stage_sup_size))
         # trainable detail-target fuse kernel (cross_entropy_loss.py:371)
         self.detail_fuse_weights = self.param(
             'detail_fuse_weights',

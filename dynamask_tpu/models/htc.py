@@ -368,16 +368,15 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
         roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         mf = self._mask_feats(feats, rois, roi_batch, sem_feat)
         flat_labels = labels.reshape(b * d)
+        # The reference's active eval path (htc_roi_head.py simple_test,
+        # :399-407) averages plain per-stage sigmoids; the cumulative
+        # `+ last_pred` form exists only in the forward_dummy path and must
+        # NOT be applied here.
         last = None
-        last_pred = None
         preds = []
         for stage in range(self.num_stages):
             logits, last = self.mask_heads[stage](mf, last, train=False)
-            logits = logits.astype(jnp.float32)
-            if last_pred is not None:
-                logits = logits + last_pred
-            last_pred = logits
-            preds.append(logits)
+            preds.append(logits.astype(jnp.float32))
         avg = sum(jax.nn.sigmoid(p) for p in preds) / len(preds)
         probs = select_class_channel(avg, flat_labels)
         return probs.reshape(b, d, *probs.shape[1:])

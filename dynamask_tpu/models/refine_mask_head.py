@@ -176,6 +176,117 @@ class RefineMaskHead(nn.Module):
         return stage_instance_preds, semantic_pred
 
 
+class SimpleSFMStage(nn.Module):
+    """Lighter fusion stage (refine_mask_head.py:376-435): no semantic-logits
+    branch — the fusion concatenates [instance feats, semantic crop,
+    instance-logit sigmoid] (+1 channel), and the logit sigmoid is
+    re-concatenated BEFORE the ×2 upsample."""
+
+    semantic_out_channel: int
+    instance_in_channel: int
+    instance_out_channel: int
+    out_size: int
+    semantic_out_stride: int = 4
+    fusion_type: str = 'MultiBranchFusionAvg'
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, instance_feats, instance_logits, semantic_feat,
+                 rois, roi_batch, upsample: bool = True):
+        scale = 1.0 / self.semantic_out_stride
+        sem = nn.relu(nn.Conv(self.semantic_out_channel, (1, 1),
+                              kernel_init=kaiming_normal_fan_out(),
+                              name='semantic_transform_in')(semantic_feat))
+        ins_sem = simple_roi_align(sem, rois, roi_batch, self.out_size, scale)
+        fused = jnp.concatenate(
+            [instance_feats, ins_sem, nn.sigmoid(instance_logits)], axis=-1)
+        fused = nn.relu(nn.Conv(self.instance_in_channel, (1, 1),
+                                kernel_init=kaiming_normal_fan_out(),
+                                name='fuse_conv_0')(fused))
+        fused = nn.relu(MultiBranchFusion(
+            self.instance_in_channel, self.dilations,
+            with_avg=(self.fusion_type == 'MultiBranchFusionAvg'),
+            name='fuse_conv_1')(fused))
+        fused = nn.relu(nn.Conv(self.instance_out_channel - 1, (1, 1),
+                                kernel_init=kaiming_normal_fan_out(),
+                                name='fuse_transform_out')(fused))
+        fused = jnp.concatenate([fused, nn.sigmoid(instance_logits)], axis=-1)
+        if upsample:
+            fused = resize_bilinear_2x(fused, align_corners=False)
+        return fused
+
+
+@HEADS.register_module()
+class SimpleRefineMaskHead(nn.Module):
+    """refine_mask_head.py:438-585 — the lighter RefineMask head: no semantic
+    logits map or loss; each stage's instance logits come from a dedicated
+    1×1 conv on the pre-stage features, and the last stage's logits are
+    bilinearly upsampled ×2 (align_corners=True) rather than predicted at
+    full resolution (``pre_upsample_last_stage=False`` default)."""
+
+    num_convs_instance: int = 2
+    num_convs_semantic: int = 4
+    conv_out_channels_instance: int = 256
+    conv_out_channels_semantic: int = 256
+    semantic_out_stride: int = 4
+    fusion_type: str = 'MultiBranchFusionAvg'
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    stage_num_classes: Tuple[int, ...] = (80, 80, 80, 80)
+    stage_sup_size: Tuple[int, ...] = (14, 28, 56, 112)
+    pre_upsample_last_stage: bool = False
+
+    @nn.compact
+    def __call__(self, instance_feats, semantic_input, rois, roi_batch,
+                 roi_labels, train: bool = False):
+        x = instance_feats
+        for i in range(self.num_convs_instance):
+            x = nn.relu(nn.Conv(self.conv_out_channels_instance, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=kaiming_normal_fan_out(),
+                                name=f'instance_conv_{i}')(x))
+        sem = semantic_input
+        for i in range(self.num_convs_semantic):
+            sem = nn.relu(nn.Conv(self.conv_out_channels_semantic, (3, 3),
+                                  padding=[(1, 1), (1, 1)],
+                                  kernel_init=kaiming_normal_fan_out(),
+                                  name=f'semantic_conv_{i}')(sem))
+
+        n_stages = len(self.stage_sup_size) - 1
+        stage_instance_preds = []
+        out_channel = self.conv_out_channels_instance
+        for idx in range(n_stages):
+            in_channel = out_channel
+            out_channel = in_channel // 2
+            logits = nn.Conv(self.stage_num_classes[idx], (1, 1),
+                             kernel_init=kaiming_normal_fan_out(),
+                             name=f'stage_instance_logits_{idx}')(x)
+            inst_p = _select_class(logits, roi_labels)
+            upsample = self.pre_upsample_last_stage or idx < n_stages - 1
+            x = SimpleSFMStage(
+                semantic_out_channel=in_channel,
+                instance_in_channel=in_channel,
+                instance_out_channel=out_channel,
+                out_size=self.stage_sup_size[idx],
+                semantic_out_stride=self.semantic_out_stride,
+                fusion_type=self.fusion_type,
+                dilations=self.dilations,
+                name=f'stage_{idx}')(x, inst_p, sem, rois, roi_batch,
+                                     upsample)
+            stage_instance_preds.append(inst_p)
+
+        final_labels = (jnp.zeros_like(roi_labels)
+                        if self.stage_num_classes[-1] == 1 else roi_labels)
+        final = nn.Conv(self.stage_num_classes[-1], (1, 1),
+                        kernel_init=kaiming_normal_fan_out(),
+                        name=f'stage_instance_logits_{n_stages}')(x)
+        final_p = _select_class(final, final_labels)
+        if not self.pre_upsample_last_stage:
+            s = final_p.shape[1] * 2
+            final_p = _resize_nhwc(final_p, s, s, align_corners=True)
+        stage_instance_preds.append(final_p)
+        return stage_instance_preds, None
+
+
 # ----------------------------------------------------------------- losses
 
 def refine_cross_entropy_loss(stage_instance_preds: Sequence[jnp.ndarray],
@@ -268,7 +379,7 @@ class RefineRoIHead(StandardRoIHead):
             self.stage_instance_loss_weight, self.boundary_width,
             self.start_stage)
         losses = {'loss_instance': loss_instance}
-        if 'gt_semantic' in batch:
+        if 'gt_semantic' in batch and semantic_pred is not None:
             sem_target = batch['gt_semantic'].astype(jnp.float32)
             sp = semantic_pred[..., 0]
             sem_target = sem_target[:, :sp.shape[1], :sp.shape[2]]
@@ -303,6 +414,7 @@ class RefineRoIHead(StandardRoIHead):
 
 @HEADS.register_module()
 class SimpleRefineRoIHead(RefineRoIHead):
-    """Alias for the lighter variant (refine_roi_head.py SimpleRefineRoIHead
-    — same orchestration; the head config selects the simple stages)."""
+    """Lighter variant (refine_roi_head.py SimpleRefineRoIHead): identical
+    orchestration, but the mask head is a ``SimpleRefineMaskHead`` — no
+    semantic-logits map, so no semantic loss term is produced."""
     pass

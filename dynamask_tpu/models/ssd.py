@@ -245,11 +245,12 @@ class SSD(nn.Module):
             flat_cls.astype(jnp.float32), flat_reg.astype(jnp.float32),
             batch['gt_boxes'], batch['gt_labels'], batch['gt_valid'],
             anchor_valid)
-        # normalized per image by its own positives (ssd_head.py:loss:
-        # num_total_samples = num_pos per image via multi_apply)
-        avg = jnp.maximum(num_pos.astype(jnp.float32), 1.0)
-        return {'loss_cls': jnp.mean(cls_l / avg),
-                'loss_bbox': jnp.mean(reg_l / avg)}
+        # normalized by the batch-total positive count (ssd_head.py:265
+        # passes num_total_samples=num_total_pos — one shared divisor for
+        # every image's loss terms)
+        total_pos = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.0)
+        return {'loss_cls': jnp.sum(cls_l) / total_pos,
+                'loss_bbox': jnp.sum(reg_l) / total_pos}
 
     def simple_test(self, batch, rescale: bool = True):
         feats = self.extract_feat(batch['image'], train=False)

@@ -95,6 +95,77 @@ def refinemask_toy_cfg():
     return model, train_cfg, test_cfg
 
 
+def simple_refinemask_toy_cfg():
+    model, train_cfg, test_cfg = refinemask_toy_cfg()
+    model['roi_head']['type'] = 'SimpleRefineRoIHead'
+    model['roi_head']['mask_head'] = dict(
+        type='SimpleRefineMaskHead',
+        num_convs_instance=1,
+        num_convs_semantic=2,
+        conv_out_channels_instance=32,
+        conv_out_channels_semantic=32,
+        semantic_out_stride=4,
+        fusion_type='MultiBranchFusionAvg',
+        stage_num_classes=[8, 8, 8, 8],
+        stage_sup_size=[14, 28, 56, 112],
+        loss_cfg=dict(type='BARCrossEntropyLoss',
+                      stage_instance_loss_weight=[0.25, 0.5, 0.75, 1.0],
+                      boundary_width=2, start_stage=1))
+    return model, train_cfg, test_cfg
+
+
+class TestSimpleRefineMaskE2E:
+    """The no-semantic-logits variant (refine_mask_head.py:376-647) must
+    train (no semantic loss term) and produce 112x112 masks whose last stage
+    is the x2-upsampled 56x56 logits."""
+
+    @pytest.fixture(scope='class')
+    def built(self):
+        from test_models import demo_batch
+        model, train_cfg, test_cfg = simple_refinemask_toy_cfg()
+        det = build_detector(model, train_cfg, test_cfg)
+        batch = demo_batch(0, b=1, h=64, w=64, g=3, s=16)
+        variables = jax.jit(det.init)({'params': jax.random.PRNGKey(0)},
+                                      batch)
+        return det, variables, batch
+
+    def test_param_structure(self, built):
+        det, variables, _ = built
+        mh = variables['params']['roi_head']['mask_head']
+        # per-stage logit convs exist; no semantic_logits conv
+        assert 'stage_instance_logits_0' in mh
+        assert 'stage_instance_logits_3' in mh
+        assert 'semantic_logits' not in mh
+        # stage fusion consumes +1 channel (inst sigmoid), not +2
+        k = mh['stage_0']['fuse_conv_0']['kernel']
+        assert k.shape[2] == 32 + 32 + 1
+
+    def test_forward_train(self, built):
+        det, variables, batch = built
+
+        def loss_fn(params):
+            losses, _ = det.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                batch, method='forward_train',
+                rngs={'sampling': jax.random.PRNGKey(1)},
+                mutable=['batch_stats'])
+            return parse_losses(losses)
+
+        (total, log), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(variables['params'])
+        assert 'loss_instance' in log and 'loss_semantic' not in log
+        assert np.isfinite(float(total))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+    def test_simple_test(self, built):
+        det, variables, batch = built
+        out = jax.jit(lambda v, b: det.apply(v, b, method='simple_test'))(
+            variables, batch)
+        assert out['mask_probs'].shape == (1, 8, 112, 112)
+        assert np.isfinite(np.asarray(out['mask_probs'])).all()
+
+
 class TestRefineMaskE2E:
     @pytest.fixture(scope='class')
     def built(self):
