@@ -22,7 +22,7 @@ import numpy as np
 
 from ..engine import (build_optimizer, step_lr_schedule, create_train_state,
                       make_train_step, data_parallel_mesh,
-                      jit_train_step_sharded)
+                      jit_train_step_sharded, jit_train_step_ddp)
 from ..engine.checkpoint import save_checkpoint, load_checkpoint, \
     load_params_only
 from ..engine.pretrained import apply_pretrained
@@ -146,9 +146,16 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                                batch_stats=bs or state.batch_stats)
         logger.info(f'loaded weights from {load_from}')
 
-    # mesh-sharded train step: batch on 'data', state replicated
+    # mesh-sharded train step: batch on 'data', state replicated. With more
+    # than one device the DDP shard_map form is used — per-device local
+    # normalization exactly like the reference's per-GPU DDP semantics
+    # (apis/train.py:71-79) and ONE fused gradient all-reduce (the
+    # bandwidth-optimal collective shape; see engine/train_state.py).
     mesh = data_parallel_mesh(devices)
-    step_fn, place = jit_train_step_sharded(det, tx, mesh)
+    if len(devices) > 1:
+        step_fn, place = jit_train_step_ddp(det, tx, mesh)
+    else:
+        step_fn, place = jit_train_step_sharded(det, tx, mesh)
     state, _, _ = place(state, batch0, train_rng)
 
     total_epochs = cfg.get('total_epochs', 12)
@@ -206,15 +213,26 @@ def train_detector(cfg, work_dir: Optional[str] = None,
 
 
 def _run_validation(cfg, det, state, eval_cfg, logger) -> Dict[str, float]:
-    """Run the val dataloader through simple_test + dataset.evaluate."""
-    from .test import single_device_test
+    """Run the val dataloader through simple_test + dataset.evaluate.
+
+    With more than one accelerator visible (or ``evaluation.devices`` set in
+    the config), eval runs data-parallel over the mesh — the product path of
+    the reference's DistEvalHook → multi_gpu_test (eval_hooks.py:44-80)."""
+    from .test import single_device_test, multi_device_test
     val_cfg = dict(cfg.data.get('val') or cfg.data.get('test'))
     dataset = build_dataset(val_cfg, default_args=dict(test_mode=True))
     variables = {'params': jax.device_get(state.params),
                  'batch_stats': jax.device_get(state.batch_stats)}
-    results = single_device_test(
-        det, variables, dataset,
-        max_images=eval_cfg.get('max_images'), progress=False)
+    n_dev = eval_cfg.get('devices', len(jax.devices()))
+    if n_dev > 1:
+        results = multi_device_test(
+            det, variables, dataset,
+            max_images=eval_cfg.get('max_images'),
+            devices=jax.devices()[:n_dev])
+    else:
+        results = single_device_test(
+            det, variables, dataset,
+            max_images=eval_cfg.get('max_images'), progress=False)
     metric = eval_cfg.get('metric', ['bbox', 'segm'])
     if isinstance(metric, str):
         metric = [metric]

@@ -29,3 +29,25 @@ jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+
+def _demote_eigen_spinners():
+    """XLA:CPU's Eigen pool (one thread per virtual device) spins in a
+    sched_yield loop while idle — on a low-core host the spinners starve
+    the threads doing real work (measured ~10-20x slowdowns; see
+    __graft_entry__.dryrun_multichip). Move them to SCHED_IDLE."""
+    jax.devices()  # force backend (and pool) creation
+    try:
+        for tid in os.listdir('/proc/self/task'):
+            try:
+                with open(f'/proc/self/task/{tid}/comm') as f:
+                    if 'XLAEigen' in f.read():
+                        os.sched_setscheduler(int(tid), os.SCHED_IDLE,
+                                              os.sched_param(0))
+            except (OSError, ValueError):
+                pass
+    except (OSError, AttributeError):
+        pass
+
+
+_demote_eigen_spinners()
