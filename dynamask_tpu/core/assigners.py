@@ -305,3 +305,82 @@ class PointAssigner:
         max_overlaps = jnp.where(jnp.isfinite(best_d), 1.0 / (1.0 + best_d),
                                  0.0)
         return AssignResult(assigned, max_overlaps, labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class CenterRegionAssigner:
+    """Assign anchors whose centers lie in the scaled "core" region of a GT
+    (reference assigners/center_region_assigner.py, used by FSAF).
+
+    Dense static-shape form: ``is_bbox_in_gt_core`` is the (A, G) mask of
+    [center inside gt] & [IoF(anchor, core) > min_pos_iof]; overlapping cores
+    resolve to the smallest-area GT (the reference's priority sort,
+    center_region_assigner.py:107-122, expressed as an argmin over masked
+    areas). Anchors in the ``neg_scale`` shadow of a GT (and not in any core)
+    are recorded in the returned shadow mask so the caller can zero that
+    (anchor, gt-label) classification weight (the reference's
+    ``shadowed_labels`` extra property).
+    """
+
+    def __init__(self, pos_scale: float, neg_scale: float,
+                 min_pos_iof: float = 1e-2, ignore_gt_scale: float = 0.5,
+                 foreground_dominate: bool = False, **kwargs):
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+        self.min_pos_iof = min_pos_iof
+        self.ignore_gt_scale = ignore_gt_scale
+
+    @staticmethod
+    def _scale_boxes(boxes: jnp.ndarray, scale: float) -> jnp.ndarray:
+        c = (boxes[..., :2] + boxes[..., 2:]) * 0.5
+        half = (boxes[..., 2:] - boxes[..., :2]) * (0.5 * scale)
+        return jnp.concatenate([c - half, c + half], -1)
+
+    def assign_with_shadow(self, boxes, box_valid, gt_boxes, gt_valid,
+                           gt_labels=None):
+        """Returns (AssignResult, shadowed (A, G) bool mask)."""
+        num_gts = gt_boxes.shape[0]
+        core = self._scale_boxes(gt_boxes, self.pos_scale)
+        shadow = self._scale_boxes(gt_boxes, self.neg_scale)
+
+        centers = (boxes[:, :2] + boxes[:, 2:4]) * 0.5
+        in_gt = ((centers[:, 0:1] > gt_boxes[None, :, 0]) &
+                 (centers[:, 0:1] < gt_boxes[None, :, 2]) &
+                 (centers[:, 1:2] > gt_boxes[None, :, 1]) &
+                 (centers[:, 1:2] < gt_boxes[None, :, 3]))
+        iof_core = bbox_overlaps(boxes, core, mode='iof')
+        in_core = in_gt & (iof_core > self.min_pos_iof) & \
+            gt_valid[None, :] & box_valid[:, None]
+        iof_shadow = bbox_overlaps(boxes, shadow, mode='iof')
+        in_shadow = (iof_shadow > self.min_pos_iof) & \
+            gt_valid[None, :] & box_valid[:, None] & ~in_core
+
+        # smallest-area GT wins overlapping cores
+        areas = (jnp.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0) *
+                 jnp.clip(gt_boxes[:, 3] - gt_boxes[:, 1], 0))
+        masked_area = jnp.where(in_core, areas[None, :], jnp.inf)
+        best_gt = jnp.argmin(masked_area, axis=1)
+        has_core = jnp.any(in_core, axis=1)
+        assigned = jnp.where(has_core, best_gt.astype(jnp.int32) + 1, 0)
+        assigned = jnp.where(box_valid, assigned, -1)
+
+        # a positive anchor's own gt is not "shadowed" for it; other
+        # overlapping gts' shadows still apply
+        own = jax.nn.one_hot(best_gt, num_gts, dtype=bool) & \
+            has_core[:, None]
+        shadowed = in_shadow & ~own
+
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, max(num_gts - 1, 0))
+            labels = jnp.where(assigned > 0, gt_labels[safe],
+                               -1).astype(jnp.int32)
+        else:
+            labels = jnp.full(boxes.shape[0], -1, jnp.int32)
+        max_overlaps = jnp.max(jnp.where(in_core, iof_core, 0.0), axis=1)
+        return AssignResult(assigned, max_overlaps, labels), shadowed
+
+    def __call__(self, boxes, box_valid, gt_boxes, gt_valid, gt_labels=None,
+                 **kwargs) -> AssignResult:
+        result, _ = self.assign_with_shadow(boxes, box_valid, gt_boxes,
+                                            gt_valid, gt_labels)
+        return result

@@ -48,16 +48,46 @@ def build_backbone(cfg: dict):
         return HRNet(extra=cfg.get('extra'),
                      norm_eval=cfg.get('norm_eval', True),
                      frozen_stages=cfg.get('frozen_stages', -1))
+    if t == 'Res2Net':
+        from .res2net import Res2Net
+        cfg.pop('norm_cfg', None)
+        cfg.pop('style', None)
+        cfg.pop('dcn', None)
+        cfg.pop('stage_with_dcn', None)
+        cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
+        return Res2Net(**cfg)
+    if t == 'RegNet':
+        from .regnet import RegNet
+        cfg.pop('norm_cfg', None)
+        cfg.pop('style', None)
+        cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
+        return RegNet(**cfg)
     raise KeyError(f'unsupported backbone {t}')
 
 
 def build_neck(cfg: dict):
+    if isinstance(cfg, (list, tuple)):  # chained necks, e.g. [FPN, BFP]
+        from .necks_extra import ChainedNeck
+        return ChainedNeck(necks=tuple(build_neck(c) for c in cfg))
     cfg = _cfg(cfg)
     t = cfg.pop('type')
     if t == 'HRFPN':
         from .hrnet import HRFPN
         return HRFPN(out_channels=cfg.get('out_channels', 256),
                      num_outs=cfg.get('num_outs', 5))
+    if t == 'BFP':
+        from .necks_extra import BFP
+        return BFP(in_channels=cfg.get('in_channels', 256),
+                   num_levels=cfg.get('num_levels', 5),
+                   refine_level=cfg.get('refine_level', 2),
+                   refine_type=cfg.get('refine_type'))
+    if t == 'NASFPN':
+        from .necks_extra import NASFPN
+        return NASFPN(in_channels=tuple(cfg['in_channels']),
+                      out_channels=cfg.get('out_channels', 256),
+                      num_outs=cfg.get('num_outs', 5),
+                      stack_times=cfg.get('stack_times', 7),
+                      start_level=cfg.get('start_level', 0))
     cls = {'FPN': FPN, 'PAFPN': PAFPN}.get(t)
     if cls is None:
         raise KeyError(f'unsupported neck {t}')
@@ -85,16 +115,31 @@ def build_bbox_head(cfg: dict):
     cls = {'Shared2FCBBoxHead': Shared2FCBBoxHead,
            'ConvFCBBoxHead': ConvFCBBoxHead,
            'Shared4Conv1FCBBoxHead': Shared4Conv1FCBBoxHead}.get(t)
-    if cls is None:
-        raise KeyError(f'unsupported bbox head {t}')
     coder = _cfg(cfg.pop('bbox_coder', {}))
     loss_cls = _cfg(cfg.pop('loss_cls', {}))
     loss_bbox = _cfg(cfg.pop('loss_bbox', {}))
+    if t == 'DoubleConvFCBBoxHead':
+        from .double_head import DoubleConvFCBBoxHead
+        head = DoubleConvFCBBoxHead(
+            num_classes=cfg.get('num_classes', 80),
+            in_channels=cfg.get('in_channels', 256),
+            roi_feat_size=cfg.get('roi_feat_size', 7),
+            num_convs=cfg.get('num_convs', 4),
+            num_fcs=cfg.get('num_fcs', 2),
+            conv_out_channels=cfg.get('conv_out_channels', 1024),
+            fc_out_channels=cfg.get('fc_out_channels', 1024),
+            reg_class_agnostic=cfg.get('reg_class_agnostic', False))
+        return head, coder, loss_cls, loss_bbox
+    if cls is None:
+        raise KeyError(f'unsupported bbox head {t}')
     head = cls(num_classes=cfg.get('num_classes', 80),
                in_channels=cfg.get('in_channels', 256),
                roi_feat_size=cfg.get('roi_feat_size', 7),
                fc_out_channels=cfg.get('fc_out_channels', 1024),
-               reg_class_agnostic=cfg.get('reg_class_agnostic', False))
+               reg_class_agnostic=cfg.get('reg_class_agnostic', False),
+               with_reg=cfg.get('with_reg', True))
+    if not cfg.get('with_reg', True):
+        loss_bbox = dict(loss_bbox, loss_weight=0.0)
     return head, coder, loss_cls, loss_bbox
 
 
@@ -116,8 +161,16 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     assigner = _cfg(rcnn_train.get('assigner'))
     sampler = _cfg(rcnn_train.get('sampler'))
 
+    # typed sampler from config (CombinedSampler / OHEM / balanced
+    # variants); the plain RandomSampler stays the in-head default
+    sampler_obj = None
+    if sampler.get('type', 'RandomSampler') != 'RandomSampler':
+        from ..utils.registry import BBOX_SAMPLERS
+        sampler_obj = BBOX_SAMPLERS.build(dict(sampler))
+
     common = dict(
         bbox_head=bbox_head,
+        sampler_obj=sampler_obj,
         num_classes=head_cfg.get('num_classes', 80),
         featmap_strides=tuple(bbox_extractor.get('featmap_strides',
                                                  (4, 8, 16, 32))),
@@ -163,17 +216,50 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                     'loss_weight', 0.5),
                 **common)
         return StandardRoIHead(mask_head=mask_head, **common)
+    if t == 'DoubleHeadRoIHead':
+        from .double_head import DoubleHeadRoIHead
+        return DoubleHeadRoIHead(
+            reg_roi_scale_factor=cfg.get('reg_roi_scale_factor', 1.3),
+            **common)
+    if t == 'GridRoIHead':
+        from .grid_rcnn import GridHead, GridRoIHead
+        gh = _cfg(cfg.get('grid_head'))
+        grid_extractor = _cfg(cfg.get('grid_roi_extractor'))
+        head = GridHead(
+            grid_points=gh.get('grid_points', 9),
+            num_convs=gh.get('num_convs', 8),
+            roi_feat_size=gh.get('roi_feat_size', 14),
+            in_channels=gh.get('in_channels', 256),
+            point_feat_channels=gh.get('point_feat_channels', 64),
+            gn_groups=_cfg(gh.get('norm_cfg')).get('num_groups', 36))
+        return GridRoIHead(
+            grid_head_module=head,
+            grid_roi_out=_cfg(grid_extractor.get('roi_layer')).get(
+                'output_size', 14),
+            pos_radius=rcnn_train.get('pos_radius', 1),
+            **common)
+    if t == 'DynamicRoIHead':
+        from .dynamic_rcnn import DynamicRoIHead
+        dyn = _cfg(rcnn_train.get('dynamic_rcnn'))
+        return DynamicRoIHead(
+            iou_topk=dyn.get('iou_topk', 75),
+            beta_topk=dyn.get('beta_topk', 10),
+            initial_iou=dyn.get('initial_iou', 0.4),
+            initial_beta=dyn.get('initial_beta', 1.0),
+            update_iter_interval=dyn.get('update_iter_interval', 100),
+            **common)
     if t == 'DynaMaskRoIHead':
         from .dynamask_roi_head import build_dynamask_roi_head
         return build_dynamask_roi_head(cfg, rcnn_train, rcnn_test, common)
     if t in ('RefineRoIHead', 'SimpleRefineRoIHead'):
         from .refine_mask_head import (RefineMaskHead, RefineRoIHead,
+                                       SimpleRefineMaskHead,
                                        SimpleRefineRoIHead)
         mhc = _cfg(cfg['mask_head'])
         mt = mhc.pop('type')
         assert mt in ('RefineMaskHead', 'SimpleRefineMaskHead'), mt
         loss_cfg = _cfg(mhc.pop('loss_cfg', {}))
-        mask_head = RefineMaskHead(
+        mh_common = dict(
             num_convs_instance=mhc.get('num_convs_instance', 2),
             num_convs_semantic=mhc.get('num_convs_semantic', 4),
             conv_out_channels_instance=mhc.get('conv_out_channels_instance',
@@ -181,13 +267,22 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
             conv_out_channels_semantic=mhc.get('conv_out_channels_semantic',
                                                256),
             semantic_out_stride=mhc.get('semantic_out_stride', 4),
-            fusion_type=mhc.get('fusion_type', 'MultiBranchFusion'),
             dilations=tuple(mhc.get('dilations', (1, 3, 5))),
-            mask_use_sigmoid=mhc.get('mask_use_sigmoid', False),
             stage_num_classes=tuple(mhc.get('stage_num_classes',
                                             (80, 80, 80, 80))),
             stage_sup_size=tuple(mhc.get('stage_sup_size',
                                          (14, 28, 56, 112))))
+        if mt == 'SimpleRefineMaskHead':
+            mask_head = SimpleRefineMaskHead(
+                fusion_type=mhc.get('fusion_type', 'MultiBranchFusionAvg'),
+                pre_upsample_last_stage=mhc.get('pre_upsample_last_stage',
+                                                False),
+                **mh_common)
+        else:
+            mask_head = RefineMaskHead(
+                fusion_type=mhc.get('fusion_type', 'MultiBranchFusion'),
+                mask_use_sigmoid=mhc.get('mask_use_sigmoid', False),
+                **mh_common)
         cls = RefineRoIHead if t == 'RefineRoIHead' else SimpleRefineRoIHead
         return cls(
             mask_head=mask_head,
@@ -433,6 +528,139 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             score_thr=tc.get('score_thr', 0.05),
             nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.6),
             max_per_img=tc.get('max_per_img', 100))
+    if t == 'RepPointsDetector':
+        from .reppoints import RepPointsDetector, RepPointsHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'RepPointsHead'
+        head = RepPointsHead(
+            num_classes=hc.get('num_classes', 80),
+            in_channels=hc.get('in_channels', 256),
+            feat_channels=hc.get('feat_channels', 256),
+            point_feat_channels=hc.get('point_feat_channels', 256),
+            stacked_convs=hc.get('stacked_convs', 3),
+            num_points=hc.get('num_points', 9),
+            gradient_mul=hc.get('gradient_mul', 0.1),
+            use_gn=bool(hc.get('norm_cfg')))
+        tc = _cfg(test_cfg)
+        trc = _cfg(train_cfg)
+        init_c = _cfg(trc.get('init'))
+        refine_c = _cfg(trc.get('refine'))
+        return RepPointsDetector(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80),
+            num_points=hc.get('num_points', 9),
+            point_strides=tuple(hc.get('point_strides',
+                                       (8, 16, 32, 64, 128))),
+            point_base_scale=hc.get('point_base_scale', 4),
+            moment_mul=hc.get('moment_mul', 0.01),
+            init_assign_scale=_cfg(init_c.get('assigner')).get('scale', 4),
+            init_pos_num=_cfg(init_c.get('assigner')).get('pos_num', 1),
+            refine_pos_iou=_cfg(refine_c.get('assigner')).get(
+                'pos_iou_thr', 0.5),
+            refine_neg_iou=_cfg(refine_c.get('assigner')).get(
+                'neg_iou_thr', 0.4),
+            loss_init_weight=_cfg(hc.get('loss_bbox_init')).get(
+                'loss_weight', 0.5),
+            loss_refine_weight=_cfg(hc.get('loss_bbox_refine')).get(
+                'loss_weight', 1.0),
+            smoothl1_beta=_cfg(hc.get('loss_bbox_init')).get('beta',
+                                                             1.0 / 9.0),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
+    if t == 'FOVEA':
+        from .fovea import FOVEA, FoveaHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'FoveaHead'
+        head = FoveaHead(num_classes=hc.get('num_classes', 80),
+                         in_channels=hc.get('in_channels', 256),
+                         feat_channels=hc.get('feat_channels', 256),
+                         stacked_convs=hc.get('stacked_convs', 4))
+        tc = _cfg(test_cfg)
+        return FOVEA(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80),
+            strides=tuple(hc.get('strides', (8, 16, 32, 64, 128))),
+            base_edge_list=tuple(hc.get('base_edge_list',
+                                        (16, 32, 64, 128, 256))),
+            scale_ranges=tuple(tuple(r) for r in hc.get(
+                'scale_ranges',
+                ((8, 32), (16, 64), (32, 128), (64, 256), (128, 512)))),
+            sigma=hc.get('sigma', 0.4),
+            focal_gamma=_cfg(hc.get('loss_cls')).get('gamma', 2.0),
+            focal_alpha=_cfg(hc.get('loss_cls')).get('alpha', 0.25),
+            smoothl1_beta=_cfg(hc.get('loss_bbox')).get('beta', 0.11),
+            loss_bbox_weight=_cfg(hc.get('loss_bbox')).get('loss_weight',
+                                                           1.0),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
+    if t == 'FSAF':
+        from .fsaf import FSAF
+        from .single_stage import RetinaHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'FSAFHead'
+        anchor_cfg = _cfg(hc.get('anchor_generator'))
+        strides = tuple(anchor_cfg.get('strides', (8, 16, 32, 64, 128)))
+        head = RetinaHead(num_classes=hc.get('num_classes', 80),
+                          in_channels=hc.get('in_channels', 256),
+                          feat_channels=hc.get('feat_channels', 256),
+                          stacked_convs=hc.get('stacked_convs', 4),
+                          num_anchors=1)
+        tc = _cfg(test_cfg)
+        trc = _cfg(train_cfg)
+        ac = _cfg(trc.get('assigner'))
+        return FSAF(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80), strides=strides,
+            tblr_normalizer=_cfg(hc.get('bbox_coder')).get('normalizer',
+                                                           4.0),
+            pos_scale=ac.get('pos_scale', 0.2),
+            neg_scale=ac.get('neg_scale', 0.2),
+            min_pos_iof=ac.get('min_pos_iof', 0.01),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
+    if t == 'GFL':
+        from .gfl import GFL, GFLHead
+        backbone = build_backbone(cfg['backbone'])
+        neck = build_neck(cfg['neck'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'GFLHead'
+        anchor_cfg = _cfg(hc.get('anchor_generator'))
+        strides = tuple(anchor_cfg.get('strides', (8, 16, 32, 64, 128)))
+        reg_max = hc.get('reg_max', 16)
+        head = GFLHead(num_classes=hc.get('num_classes', 80),
+                       in_channels=hc.get('in_channels', 256),
+                       feat_channels=hc.get('feat_channels', 256),
+                       stacked_convs=hc.get('stacked_convs', 4),
+                       num_levels=len(strides), reg_max=reg_max)
+        tc = _cfg(test_cfg)
+        trc = _cfg(train_cfg)
+        return GFL(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80), strides=strides,
+            octave_base_scale=anchor_cfg.get('octave_base_scale', 8),
+            anchor_ratios=tuple(anchor_cfg.get('ratios', (1.0,))),
+            reg_max=reg_max,
+            assigner_topk=_cfg(trc.get('assigner')).get('topk', 9),
+            loss_dfl_weight=_cfg(hc.get('loss_dfl')).get('loss_weight',
+                                                         0.25),
+            loss_bbox_weight=_cfg(hc.get('loss_bbox')).get('loss_weight',
+                                                           2.0),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.6),
+            max_per_img=tc.get('max_per_img', 100))
     if t == 'FCOS':
         from .fcos import FCOS, FCOSHead
         backbone = build_backbone(cfg['backbone'])
@@ -456,8 +684,46 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                     score_thr=tc.get('score_thr', 0.05),
                     nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
                     max_per_img=tc.get('max_per_img', 100))
+    if t == 'FastRCNN':
+        from .detectors import FastRCNN
+        return FastRCNN(
+            backbone=build_backbone(cfg['backbone']),
+            neck=build_neck(cfg['neck']),
+            roi_head=build_roi_head(cfg['roi_head'], _cfg(train_cfg),
+                                    _cfg(test_cfg)))
+    if t == 'RPN':
+        from .detectors import RPN
+        rpn_head, anchor_cfg, rpn_coder, rpn_loss_cls, rpn_loss_bbox = \
+            build_rpn_head(cfg['rpn_head'])
+        rpn_train = _cfg(_cfg(train_cfg).get('rpn'))
+        rpn_test = _cfg(_cfg(test_cfg).get('rpn'))
+        rpn_assigner = _cfg(rpn_train.get('assigner'))
+        rpn_sampler = _cfg(rpn_train.get('sampler'))
+        return RPN(
+            backbone=build_backbone(cfg['backbone']),
+            neck=build_neck(cfg['neck']), rpn_head=rpn_head,
+            anchor_scales=tuple(anchor_cfg.get('scales', (8,))),
+            anchor_ratios=tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0))),
+            anchor_strides=tuple(anchor_cfg.get('strides',
+                                                (4, 8, 16, 32, 64))),
+            rpn_target_means=tuple(rpn_coder.get('target_means',
+                                                 (0., 0., 0., 0.))),
+            rpn_target_stds=tuple(rpn_coder.get('target_stds',
+                                                (1., 1., 1., 1.))),
+            rpn_pos_iou_thr=rpn_assigner.get('pos_iou_thr', 0.7),
+            rpn_neg_iou_thr=rpn_assigner.get('neg_iou_thr', 0.3),
+            rpn_min_pos_iou=rpn_assigner.get('min_pos_iou', 0.3),
+            rpn_num_samples=rpn_sampler.get('num', 256),
+            rpn_pos_fraction=rpn_sampler.get('pos_fraction', 0.5),
+            rpn_nms_pre_test=rpn_test.get('nms_pre', 2000),
+            rpn_max_num=rpn_test.get('max_num',
+                                     rpn_test.get('nms_post', 2000)),
+            rpn_nms_thr=rpn_test.get('nms_thr', 0.7),
+            rpn_cls_weight=rpn_loss_cls.get('loss_weight', 1.0),
+            rpn_bbox_weight=rpn_loss_bbox.get('loss_weight', 1.0))
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector,
+               'GridRCNN': TwoStageDetector,
                'CascadeRCNN': TwoStageDetector,
                'HybridTaskCascade': TwoStageDetector,
                'PointRend': TwoStageDetector,
