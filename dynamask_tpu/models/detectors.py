@@ -238,6 +238,125 @@ class FasterRCNN(TwoStageDetector):
     pass
 
 
+@DETECTORS.register_module()
+class FastRCNN(nn.Module):
+    """RoI head over precomputed proposals — no RPN (reference
+    detectors/fast_rcnn.py:8-55; proposals arrive via the data pipeline's
+    LoadProposals, pipelines/loading.py:356).
+
+    The batch must carry ``proposals`` (B, P, 4) and ``proposal_valid``
+    (B, P) — the static-shape analogue of the reference's per-image
+    proposal list argument."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    roi_head: nn.Module
+
+    def extract_feat(self, images: jnp.ndarray, train: bool = False):
+        return self.neck(self.backbone(images, train=train), train=train)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        feats = self.extract_feat(batch['image'], train=train)
+        return self.roi_head.init_dummy(feats, train=train)
+
+    def forward_train(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        feats = self.extract_feat(batch['image'], train=True)
+        return self.roi_head.forward_train(
+            feats, batch['proposals'], batch['proposal_valid'], batch,
+            train=True)
+
+    def simple_test(self, batch: Dict[str, jnp.ndarray],
+                    rescale: bool = True) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(batch['image'], train=False)
+        return self.roi_head.simple_test(
+            feats, batch['proposals'], batch['proposal_valid'], batch,
+            rescale=rescale)
+
+
+@DETECTORS.register_module()
+class RPN(nn.Module):
+    """Proposal-only detector (reference detectors/rpn.py:9-154):
+    forward_train is the RPN loss with class-agnostic targets; simple_test
+    returns the post-NMS proposals as (N, 5) score-ranked detections."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_head: nn.Module
+    anchor_scales: Tuple[float, ...] = (8,)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    rpn_target_means: Tuple[float, ...] = (0., 0., 0., 0.)
+    rpn_target_stds: Tuple[float, ...] = (1., 1., 1., 1.)
+    rpn_pos_iou_thr: float = 0.7
+    rpn_neg_iou_thr: float = 0.3
+    rpn_min_pos_iou: float = 0.3
+    rpn_num_samples: int = 256
+    rpn_pos_fraction: float = 0.5
+    rpn_nms_pre_test: int = 2000
+    rpn_max_num: int = 2000
+    rpn_nms_thr: float = 0.7
+    rpn_cls_weight: float = 1.0
+    rpn_bbox_weight: float = 1.0
+
+    def _anchor_generator(self) -> AnchorGenerator:
+        return AnchorGenerator(strides=self.anchor_strides,
+                               ratios=self.anchor_ratios,
+                               scales=self.anchor_scales)
+
+    def extract_feat(self, images: jnp.ndarray, train: bool = False):
+        return self.neck(self.backbone(images, train=train), train=train)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        return self.rpn_head(self.extract_feat(batch['image'], train),
+                             train=train)
+
+    def forward_train(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        feats = self.extract_feat(batch['image'], train=True)
+        cls_scores, bbox_preds = self.rpn_head(feats, train=True)
+        gen = self._anchor_generator()
+        featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        anchors = jnp.concatenate(mlvl_anchors, axis=0)
+        anchor_valid = jax.vmap(
+            lambda sh: jnp.concatenate(
+                gen.valid_flags(featmap_sizes, sh), axis=0))(
+            batch['img_shape'])
+        return rpn_loss(
+            cls_scores, bbox_preds, anchors, anchor_valid,
+            batch['gt_boxes'], batch['gt_valid'],
+            self.make_rng('sampling'),
+            MaxIoUAssigner(pos_iou_thr=self.rpn_pos_iou_thr,
+                           neg_iou_thr=self.rpn_neg_iou_thr,
+                           min_pos_iou=self.rpn_min_pos_iou,
+                           match_low_quality=True),
+            RandomSampler(num=self.rpn_num_samples,
+                          pos_fraction=self.rpn_pos_fraction,
+                          add_gt_as_proposals=False),
+            self.rpn_target_means, self.rpn_target_stds,
+            self.rpn_cls_weight, self.rpn_bbox_weight)
+
+    def simple_test(self, batch: Dict[str, jnp.ndarray],
+                    rescale: bool = True) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(batch['image'], train=False)
+        cls_scores, bbox_preds = self.rpn_head(feats, train=False)
+        gen = self._anchor_generator()
+        featmap_sizes = [tuple(f.shape[1:3]) for f in feats]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        proposals = rpn_get_proposals(
+            cls_scores, bbox_preds, mlvl_anchors, batch['img_shape'],
+            nms_pre=self.rpn_nms_pre_test, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr,
+            target_means=self.rpn_target_means,
+            target_stds=self.rpn_target_stds)
+        boxes = proposals.boxes
+        if rescale:
+            boxes = boxes / batch['scale_factor'][:, None, :]
+        dets = jnp.concatenate([boxes, proposals.scores[..., None]], -1)
+        labels = jnp.zeros(dets.shape[:2], jnp.int32)
+        return {'dets': dets, 'labels': labels,
+                'det_valid': proposals.valid}
+
+
 def parse_losses(losses: Dict[str, jnp.ndarray]):
     """total = sum of every value whose key contains 'loss'
     (reference base.py:_parse_losses)."""

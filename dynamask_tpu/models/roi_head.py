@@ -47,6 +47,9 @@ class StandardRoIHead(nn.Module):
     pos_fraction: float = 0.25
     max_pos: int = 128
     add_gt_as_proposals: bool = True
+    # optional pre-built typed sampler (CombinedSampler/OHEM/...); None ->
+    # the plain RandomSampler from the fields above
+    sampler_obj: Optional[Any] = None
     # assigner (train_cfg.rcnn.assigner)
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
@@ -71,6 +74,8 @@ class StandardRoIHead(nn.Module):
                               match_low_quality=self.match_low_quality)
 
     def _sampler(self) -> RandomSampler:
+        if self.sampler_obj is not None:
+            return self.sampler_obj
         return RandomSampler(num=self.num_samples,
                              pos_fraction=self.pos_fraction,
                              add_gt_as_proposals=self.add_gt_as_proposals)
@@ -83,8 +88,7 @@ class StandardRoIHead(nn.Module):
         expensive assign/NMS graphs."""
         rois = jnp.array([[0., 0., 32., 32.]] * 2)
         roi_batch = jnp.zeros(2, jnp.int32)
-        bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
-        out = self.bbox_head(bbox_feats, train=train)
+        out = self._bbox_forward(feats, rois, roi_batch, train=train)
         if self.mask_head is not None:
             mask_feats = self._extract(feats, rois, roi_batch,
                                        self.mask_roi_out)
@@ -121,6 +125,12 @@ class StandardRoIHead(nn.Module):
             sampling_ratio=self.roi_sampling_ratio,
             finest_scale=self.finest_scale)
 
+    def _bbox_forward(self, feats, rois, roi_batch, train=False):
+        """RoI extract + bbox head -> (cls_logits, bbox_deltas). Overridden
+        by variants with a different feature pull (e.g. DoubleHeadRoIHead)."""
+        bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
+        return self.bbox_head(bbox_feats, train=train)
+
     # ----------------------------------------------------------------- train
 
     def forward_train(self, feats, proposals, proposal_valid, batch,
@@ -134,8 +144,8 @@ class StandardRoIHead(nn.Module):
         roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
 
         # ---- bbox branch
-        bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
-        cls_logits, bbox_deltas = self.bbox_head(bbox_feats, train=train)
+        cls_logits, bbox_deltas = self._bbox_forward(feats, rois, roi_batch,
+                                                     train=train)
         targets = jax.vmap(
             lambda s: bbox_targets_from_sample(
                 s, self.num_classes, self.target_means, self.target_stds)
@@ -190,8 +200,8 @@ class StandardRoIHead(nn.Module):
         b, p = proposals.shape[:2]
         rois = proposals.reshape(b * p, 4)
         roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-        bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
-        cls_logits, bbox_deltas = self.bbox_head(bbox_feats, train=False)
+        cls_logits, bbox_deltas = self._bbox_forward(feats, rois, roi_batch,
+                                                     train=False)
         cls_logits = cls_logits.reshape(b, p, -1)
         bbox_deltas = bbox_deltas.reshape(b, p, -1)
 
