@@ -152,10 +152,21 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     # (apis/train.py:71-79) and ONE fused gradient all-reduce (the
     # bandwidth-optimal collective shape; see engine/train_state.py).
     mesh = data_parallel_mesh(devices)
+    # mixed precision: a `bf16 = True` (or reference-style `fp16 = dict()`)
+    # config key runs forward/backward in bf16 with fp32 master weights —
+    # the TPU recast of Fp16OptimizerHook (core/fp16/hooks.py:11-98; bf16
+    # needs no loss scale)
+    compute_dtype = None
+    if cfg.get('bf16') or cfg.get('fp16') is not None:
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
+        logger.info('mixed precision: bf16 compute, fp32 master weights')
     if len(devices) > 1:
-        step_fn, place = jit_train_step_ddp(det, tx, mesh)
+        step_fn, place = jit_train_step_ddp(det, tx, mesh,
+                                            compute_dtype=compute_dtype)
     else:
-        step_fn, place = jit_train_step_sharded(det, tx, mesh)
+        step_fn, place = jit_train_step_sharded(
+            det, tx, mesh, compute_dtype=compute_dtype)
     state, _, _ = place(state, batch0, train_rng)
 
     total_epochs = cfg.get('total_epochs', 12)

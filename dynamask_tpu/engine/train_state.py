@@ -36,17 +36,38 @@ def create_train_state(variables, tx) -> TrainState:
                       batch_stats=variables.get('batch_stats', {}))
 
 
-def make_train_step(det, tx) -> Callable:
-    """Returns step(state, batch, rng) -> (state, log_dict)."""
+def _cast_f32_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, tree)
+
+
+def make_train_step(det, tx, compute_dtype=None) -> Callable:
+    """Returns step(state, batch, rng) -> (state, log_dict).
+
+    ``compute_dtype=jnp.bfloat16`` runs forward+backward in bf16 with fp32
+    master weights — the TPU analogue of the reference's mixed-precision
+    Fp16OptimizerHook (core/fp16/hooks.py:11-98): the cast into bf16 sits
+    inside the differentiated function, so gradients flow back to the fp32
+    params (no loss scaling needed for bf16's fp32-range exponent); each
+    model's decode/loss boundaries already force fp32 (core/fp16.py
+    policy)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = _cast_f32_tree(params, compute_dtype)
+                b = dict(batch)
+                b['image'] = batch['image'].astype(compute_dtype)
+            else:
+                b = batch
             variables = {'params': params, 'batch_stats': state.batch_stats}
             losses, new_state = det.apply(
-                variables, batch, method='forward_train',
+                variables, b, method='forward_train',
                 rngs={'sampling': rng}, mutable=['batch_stats'])
             total, log = parse_losses(losses)
+            total = total.astype(jnp.float32)
             return total, (log, new_state.get('batch_stats', state.batch_stats))
 
         (_, (log, new_bs)), grads = jax.value_and_grad(
@@ -80,7 +101,8 @@ def shard_batch_spec(batch: Dict[str, jnp.ndarray], axis: str = 'data'):
     return jax.tree_util.tree_map(lambda _: P(axis), batch)
 
 
-def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data'):
+def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data',
+                       compute_dtype=None):
     """DDP-faithful train step under ``shard_map`` with ONE fused gradient
     all-reduce.
 
@@ -120,11 +142,18 @@ def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data'):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = _cast_f32_tree(params, compute_dtype)
+                b = dict(batch)
+                b['image'] = batch['image'].astype(compute_dtype)
+            else:
+                b = batch
             variables = {'params': params, 'batch_stats': state.batch_stats}
             losses, new_state = det.apply(
-                variables, batch, method='forward_train',
+                variables, b, method='forward_train',
                 rngs={'sampling': rng}, mutable=['batch_stats'])
             total, log = parse_losses(losses)
+            total = total.astype(jnp.float32)
             return total, (log, new_state.get('batch_stats',
                                               state.batch_stats))
 
@@ -163,10 +192,11 @@ def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data'):
     return jax.jit(fn, donate_argnums=(0,)), place
 
 
-def jit_train_step_sharded(det, tx, mesh: Mesh, axis: str = 'data'):
+def jit_train_step_sharded(det, tx, mesh: Mesh, axis: str = 'data',
+                           compute_dtype=None):
     """jit the train step with explicit shardings: batch split over ``axis``,
     state replicated. XLA emits psum for the gradient reduction."""
-    step_fn = make_train_step(det, tx)
+    step_fn = make_train_step(det, tx, compute_dtype=compute_dtype)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
 

@@ -19,6 +19,8 @@ def main():
                                        'r50_dynamask_1x.py')
     p.add_argument('--batch-size', type=int, default=4)
     p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--bf16', action='store_true',
+                   help='bf16 compute, fp32 master weights')
     args = p.parse_args()
 
     import jax
@@ -45,7 +47,9 @@ def main():
         lr_schedule=step_lr_schedule(cfg.optimizer['lr'], 1000),
         frozen_backbone_prefixes=det.backbone.frozen_param_paths())
     state = create_train_state(variables, tx)
-    step_fn = jax.jit(make_train_step(det, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(
+        det, tx, compute_dtype=jnp.bfloat16 if args.bf16 else None),
+        donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
