@@ -151,11 +151,11 @@ def _mmdet_key(key: str) -> Optional[Tuple[List[str], str, Dict]]:
         return ['roi_head', 'mask_head', f'conv_{m.group(1)}'], m.group(2), {}
     m = re.match(r'^roi_head\.mask_head\.upsample\.(weight|bias)$', key)
     if m:
-        return (['roi_head', 'mask_head', 'upsample'], m.group(2),
+        return (['roi_head', 'mask_head', 'upsample'], m.group(1),
                 {'deconv': True})
     m = re.match(r'^roi_head\.mask_head\.conv_logits\.(weight|bias)$', key)
     if m:
-        return ['roi_head', 'mask_head', 'conv_logits'], m.group(2), {}
+        return ['roi_head', 'mask_head', 'conv_logits'], m.group(1), {}
     return None
 
 
