@@ -49,14 +49,18 @@ def main():
     shapes = jax.eval_shape(
         lambda: det.init({'params': jax.random.PRNGKey(0)},
                          _demo_batch(jnp, 1, h, w)))
-    rng = jax.random.PRNGKey(0)
+    # host-side init + one bulk transfer: per-leaf device RNG would cost
+    # ~1200 sequential dispatch round-trips over the TPU tunnel (~30 ms
+    # floor each) before the benchmark even starts
+    host_rng = np.random.RandomState(0)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(rng, len(leaves))
-    variables = jax.tree_util.tree_unflatten(treedef, [
-        (jax.random.normal(k, x.shape, x.dtype) * 0.05
+    host_leaves = [
+        (host_rng.normal(0, 0.05, x.shape).astype(x.dtype)
          if jnp.issubdtype(x.dtype, jnp.floating)
-         else jnp.zeros(x.shape, x.dtype))
-        for k, x in zip(keys, leaves)])
+         else np.zeros(x.shape, x.dtype))
+        for x in leaves]
+    variables = jax.device_put(
+        jax.tree_util.tree_unflatten(treedef, host_leaves))
 
     bf16 = os.environ.get('BENCH_BF16', '1') == '1'
     if bf16:

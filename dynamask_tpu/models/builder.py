@@ -418,6 +418,41 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
     neck = build_neck(cfg['neck'])
     hc = _cfg(cfg['bbox_head'])
     ht = hc.pop('type')
+    if ht == 'FreeAnchorRetinaHead':
+        from .freeanchor import FreeAnchor
+        anchor_cfg = _cfg(hc.get('anchor_generator'))
+        coder = _cfg(hc.get('bbox_coder'))
+        ratios = tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0)))
+        spo = anchor_cfg.get('scales_per_octave', 3)
+        head = RetinaHead(num_classes=hc.get('num_classes', 80),
+                          in_channels=hc.get('in_channels', 256),
+                          feat_channels=hc.get('feat_channels', 256),
+                          stacked_convs=hc.get('stacked_convs', 4),
+                          num_anchors=len(ratios) * spo)
+        tc = _cfg(test_cfg)
+        lb = _cfg(hc.get('loss_bbox'))
+        return FreeAnchor(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80),
+            anchor_octave_base_scale=anchor_cfg.get('octave_base_scale', 4),
+            anchor_scales_per_octave=spo,
+            anchor_ratios=ratios,
+            anchor_strides=tuple(anchor_cfg.get('strides',
+                                                (8, 16, 32, 64, 128))),
+            target_means=tuple(coder.get('target_means',
+                                         (0., 0., 0., 0.))),
+            target_stds=tuple(coder.get('target_stds',
+                                        (0.1, 0.1, 0.2, 0.2))),
+            pre_anchor_topk=hc.get('pre_anchor_topk', 50),
+            bbox_thr=hc.get('bbox_thr', 0.6),
+            fa_gamma=hc.get('gamma', 2.0),
+            fa_alpha=hc.get('alpha', 0.5),
+            smoothl1_beta=lb.get('beta', 0.11),
+            loss_bbox_weight=lb.get('loss_weight', 0.75),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
     assert ht == 'RetinaHead', ht
     anchor_cfg = _cfg(hc.get('anchor_generator'))
     coder = _cfg(hc.get('bbox_coder'))

@@ -28,7 +28,8 @@ from ..utils.registry import HEADS
 from ..core.assigners import MaxIoUAssigner
 from ..core.samplers import add_gt_as_proposals
 from .bbox_head import BBoxTargets, bbox_targets_from_sample
-from .losses import accuracy, smooth_l1_loss, softmax_cross_entropy
+from .losses import (accuracy, smooth_l1_elementwise,
+                     softmax_cross_entropy)
 from .roi_head import StandardRoIHead
 
 
@@ -133,7 +134,7 @@ class DynamicRoIHead(StandardRoIHead):
         safe = jnp.clip(flat.labels, 0, self.num_classes - 1)
         pred = jnp.take_along_axis(
             per_cls, safe[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        lb = smooth_l1_loss(pred, flat.bbox_targets, beta.value)
+        lb = smooth_l1_elementwise(pred, flat.bbox_targets, beta.value)
         loss_bbox = jnp.sum(lb * flat.bbox_weights[:, None]) / \
             jnp.maximum(avg, 1.0)
 

@@ -27,7 +27,7 @@ import flax.linen as nn
 from ..utils.registry import HEADS, DETECTORS
 from ..ops.nms import multiclass_nms
 from .layers import normal_init
-from .losses import smooth_l1_loss
+from .losses import smooth_l1_elementwise
 from .single_stage import _focal_elementwise
 
 INF = 1e8
@@ -183,8 +183,8 @@ class FOVEA(nn.Module):
                 :, :self.num_classes]
             cls_l = jnp.sum(_focal_elementwise(
                 cls_s, onehot, self.focal_gamma, self.focal_alpha))
-            reg_l = jnp.sum(smooth_l1_loss(reg_s, bbox_t,
-                                           self.smoothl1_beta) *
+            reg_l = jnp.sum(smooth_l1_elementwise(reg_s, bbox_t,
+                                                 self.smoothl1_beta) *
                             pos[:, None])
             return cls_l, reg_l, jnp.sum(pos)
 

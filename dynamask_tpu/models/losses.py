@@ -73,11 +73,17 @@ def l1_loss(pred, target, weight=None, avg_factor=None):
     return weight_reduce_loss(loss, weight, avg_factor)
 
 
+def smooth_l1_elementwise(pred, target, beta: float = 1.0):
+    """Unreduced SmoothL1 (reduction='none' in the reference)."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+
+
 def smooth_l1_loss(pred, target, beta: float = 1.0, weight=None,
                    avg_factor=None):
-    diff = jnp.abs(pred - target)
-    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
-    return weight_reduce_loss(loss, weight, avg_factor)
+    return weight_reduce_loss(smooth_l1_elementwise(pred, target, beta),
+                              weight, avg_factor)
 
 
 def sigmoid_focal_loss(logits, targets_onehot, gamma: float = 2.0,

@@ -27,7 +27,7 @@ from ..core.assigners import MaxIoUAssigner, PointAssigner
 from ..ops.deform_conv import deform_conv2d
 from ..ops.nms import multiclass_nms
 from .layers import normal_init
-from .losses import smooth_l1_loss
+from .losses import smooth_l1_elementwise
 from .single_stage import _focal_elementwise
 
 
@@ -235,8 +235,9 @@ class RepPointsDetector(nn.Module):
             pos_i = (a_init.gt_inds > 0).astype(jnp.float32)
             gt_i = jnp.clip(a_init.gt_inds - 1, 0, gts.shape[0] - 1)
             tgt_i = gts[gt_i]
-            li = smooth_l1_loss(binit / norm[:, None],
-                                tgt_i / norm[:, None], self.smoothl1_beta)
+            li = smooth_l1_elementwise(binit / norm[:, None],
+                                       tgt_i / norm[:, None],
+                                       self.smoothl1_beta)
             loss_init = jnp.sum(li * pos_i[:, None])
 
             a_ref = refine_assigner(
@@ -245,8 +246,9 @@ class RepPointsDetector(nn.Module):
             include = (a_ref.gt_inds >= 0).astype(jnp.float32)
             gt_r = jnp.clip(a_ref.gt_inds - 1, 0, gts.shape[0] - 1)
             tgt_r = gts[gt_r]
-            lr = smooth_l1_loss(brefine / norm[:, None],
-                                tgt_r / norm[:, None], self.smoothl1_beta)
+            lr = smooth_l1_elementwise(brefine / norm[:, None],
+                                       tgt_r / norm[:, None],
+                                       self.smoothl1_beta)
             loss_refine = jnp.sum(lr * pos_r[:, None])
 
             onehot = jax.nn.one_hot(
