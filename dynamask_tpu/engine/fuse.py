@@ -68,7 +68,9 @@ def fuse_conv_bn(variables: Dict, eps: float = 1e-5) -> Tuple[Dict, int]:
                 beta = np.asarray(bn_p.get('bias', 0.0))
                 mean = np.asarray(bn_s['mean'])
                 var = np.asarray(bn_s['var'])
-                factor = gamma / np.sqrt(var + eps)
+                # clamp: variances are >= 0 in any trained checkpoint, but a
+                # malformed one must not silently poison the model with NaN
+                factor = gamma / np.sqrt(np.maximum(var, 0.0) + eps)
                 kernel = np.asarray(child['kernel'])
                 child['kernel'] = jnp.asarray(
                     kernel * factor.reshape((1,) * (kernel.ndim - 1) + (-1,)),

@@ -166,6 +166,8 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     sampler_obj = None
     if sampler.get('type', 'RandomSampler') != 'RandomSampler':
         from ..utils.registry import BBOX_SAMPLERS
+        if sampler['type'] == 'ScoreHLRSampler':
+            from . import pisa  # noqa: F401 — registers ScoreHLRSampler
         sampler_obj = BBOX_SAMPLERS.build(dict(sampler))
 
     common = dict(
@@ -216,6 +218,28 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                     'loss_weight', 0.5),
                 **common)
         return StandardRoIHead(mask_head=mask_head, **common)
+    if t == 'PISARoIHead':
+        from .pisa import PISARoIHead
+        mask_head = None
+        if cfg.get('mask_head'):
+            mhc = _cfg(cfg['mask_head'])
+            assert mhc.pop('type') == 'FCNMaskHead'
+            mask_head = FCNMaskHead(
+                num_convs=mhc.get('num_convs', 4),
+                in_channels=mhc.get('in_channels', 256),
+                conv_out_channels=mhc.get('conv_out_channels', 256),
+                num_classes=mhc.get('num_classes', 80),
+                class_agnostic=mhc.get('class_agnostic', False))
+            common['loss_mask_weight'] = _cfg(
+                mhc.get('loss_mask')).get('loss_weight', 1.0)
+        isr = _cfg(rcnn_train.get('isr'))
+        carl = _cfg(rcnn_train.get('carl'))
+        return PISARoIHead(
+            mask_head=mask_head,
+            isr_k=isr.get('k', 2.0), isr_bias=isr.get('bias', 0.0),
+            carl_k=carl.get('k', 1.0), carl_bias=carl.get('bias', 0.2),
+            smooth_l1_beta=_cfg(head_cfg.get('loss_bbox')).get('beta', 1.0),
+            **common)
     if t == 'DoubleHeadRoIHead':
         from .double_head import DoubleHeadRoIHead
         return DoubleHeadRoIHead(

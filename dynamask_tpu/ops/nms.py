@@ -241,3 +241,49 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     out_labels = jnp.where(out_valid, flat_labels[out_inds], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
     return dets, out_labels, out_valid
+
+
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+              iou_threshold: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS *matching*: group boxes with the kept box that suppressed
+    them (reference: mmcv.ops.nms_match as consumed by
+    core/bbox/samplers/score_hlr_sampler.py:175-180).
+
+    The reference returns a python list of index groups; the TPU-native form
+    is dense with static shapes: every box gets the index of its group
+    leader (the highest-scored box of its group, a greedy-NMS keeper) and
+    its 0-based score rank within that group. Exactly equivalent
+    information — a group is ``{i: leader[i] == L}`` ordered by ``rank``.
+
+    Args:
+        boxes: (N, 4); scores: (N,); valid: (N,) bool.
+        iou_threshold: grouping threshold (> is a match, like greedy NMS).
+
+    Returns:
+        (leader (N,) int32 — index into the input, -1 for invalid slots;
+        rank (N,) int32 — score-descending position within the group).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+    sb = boxes[order]
+    sv = valid[order]
+    keep_s = _greedy_keep(sb, sv, iou_threshold)
+
+    iou = bbox_overlaps(sb, sb)                       # (N, N) sorted order
+    j = jnp.arange(n)
+    # leader of sorted-box i = FIRST kept j <= i with IoU > thr (a kept box
+    # is its own leader: nothing kept before it overlaps it, by greediness)
+    match = keep_s[:, None] & (iou > iou_threshold) & sv[None, :] \
+        & (j[:, None] <= j[None, :])
+    leader_s = jnp.argmax(match.astype(jnp.int32)
+                          * (n - j)[:, None], axis=0).astype(jnp.int32)
+    has = jnp.any(match, axis=0) & sv
+    # score rank inside the group = how many earlier sorted boxes share the
+    # leader
+    same = has[:, None] & has[None, :] & (leader_s[:, None] == leader_s[None])
+    rank_s = jnp.sum(same & (j[:, None] < j[None, :]), axis=0).astype(
+        jnp.int32)
+
+    inv = jnp.argsort(order)
+    leader_orig = jnp.where(has, order[leader_s], -1)
+    return leader_orig[inv].astype(jnp.int32), rank_s[inv]
