@@ -177,6 +177,39 @@ def deform_conv2d_windowed(x: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _windowed_fast(x, offsets, weights, kernel_size, padding, dilation,
+                   deform_groups, window):
+    """TPU dispatch of the windowed DCN: lane-packed Pallas frame kernel
+    for the forward (measured 1.18x the XLA windowed path at the 28^2
+    SFM stage on v5e), with gradients taken through the XLA windowed
+    path — both implement the identical bounded-window DCNv1 semantics
+    (reference mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
+    from .deform_conv_pallas import deform_conv2d_frame
+    return deform_conv2d_frame(x, offsets, weights, kernel_size, padding,
+                               dilation, deform_groups, window)
+
+
+def _windowed_fast_fwd(x, offsets, weights, kernel_size, padding, dilation,
+                       deform_groups, window):
+    out = _windowed_fast(x, offsets, weights, kernel_size, padding, dilation,
+                         deform_groups, window)
+    return out, (x, offsets, weights)
+
+
+def _windowed_fast_bwd(kernel_size, padding, dilation, deform_groups, window,
+                       res, ct):
+    x, offsets, weights = res
+    _, vjp = jax.vjp(
+        lambda xx, oo, ww: deform_conv2d_windowed(
+            xx, oo, ww, kernel_size, 1, padding, dilation, deform_groups,
+            window), x, offsets, weights)
+    return vjp(ct)
+
+
+_windowed_fast.defvjp(_windowed_fast_fwd, _windowed_fast_bwd)
+
+
 @partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
                                    'dilation', 'deform_groups', 'roi_chunk',
                                    'window'))
@@ -210,6 +243,12 @@ def deform_conv2d(x: jnp.ndarray,
     g = deform_groups
 
     if window is not None:
+        if (h == w and stride == 1
+                and jax.default_backend() == 'tpu'):
+            # lane-packed Pallas kernel (forward; grads via the XLA
+            # windowed path, same bounded-window semantics)
+            return _windowed_fast(x, offsets, weights, kernel_size, padding,
+                                  dilation, deform_groups, window)
         # gather-free fast path (see deform_conv2d_windowed); roi chunking
         # bounds the window accumulator's footprint the same way
         if roi_chunk and n > roi_chunk and h * w >= 28 * 28:

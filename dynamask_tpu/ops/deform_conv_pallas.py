@@ -142,3 +142,146 @@ def deform_conv2d_windowed_pallas(x: jnp.ndarray,
     for gi in range(1, g):
         out = out + run_group(gi)
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Frame-flat revision: the layout-packed kernel the header anticipated.
+#
+# The plane kernel above keeps (S, S, cg) blocks with cg on the lane dim —
+# cg = 64/32 at the 28^2/56^2 stages leaves half to three quarters of the
+# 128-lane VPU idle, which is exactly where it lost to XLA. This revision
+# flips the layout: channels ride the SUBLANE dim (looped 8 at a time, any
+# cg is dense) and the padded spatial plane rides the LANE dim flattened to
+# (S*Wp,), which is 128-dense for every stage.
+#
+# The enabling identity: with frame padding pad = D + 1 on both axes, output
+# pixel (y, x) placed at flat index f = y*Wp + (x + pad) reads window cell
+# (u, v) at flat index f + (u + pad)*Wp + v of the flattened padded input —
+# ONE static unaligned slice per cell, no per-row bookkeeping. Per-axis tent
+# weights are computed once per tap on a single (1, S*Wp) sublane and
+# broadcast down the channel sublanes for free. Each tap then feeds the MXU
+# with a (cg, c_out) x (cg, S*Wp) contraction.
+#
+# The out-of-frame columns (x-padding) carry garbage rel values; the `ins`
+# plane is zero there, so they contribute exact zeros through the matmul and
+# are sliced away by the caller.
+# ---------------------------------------------------------------------------
+
+
+def _dcn_frame_kernel(xpf_ref, rely_ref, relx_ref, ins_ref, w_ref, out_ref,
+                      *, S: int, Wp: int, cg: int, g: int, c_out: int,
+                      D: int, taps: int):
+    N = S * Wp
+    pad = D + 1
+    dt = xpf_ref.dtype
+    acc = jnp.zeros((c_out, N), jnp.float32)
+    for t in range(taps):
+        for gi in range(g):
+            ry = rely_ref[0, t, gi][None, :]            # (1, N) f32
+            rx = relx_ref[0, t, gi][None, :]
+            iw = ins_ref[0, t, gi][None, :]
+            wxs = [jnp.maximum(1.0 - jnp.abs(rx - v), 0.0).astype(dt)
+                   for v in range(-D, D + 2)]
+            wys = [(jnp.maximum(1.0 - jnp.abs(ry - u), 0.0) * iw).astype(dt)
+                   for u in range(-D, D + 2)]
+            samp = jnp.zeros((cg, N), jnp.float32)
+            for ui, u in enumerate(range(-D, D + 2)):
+                s = (u + pad) * Wp
+                row = None
+                for vi, v in enumerate(range(-D, D + 2)):
+                    sl = xpf_ref[0, gi * cg:(gi + 1) * cg,
+                                 s + v:s + v + N]
+                    term = sl * wxs[vi]
+                    row = term if row is None else row + term
+                samp = samp + (row * wys[ui]).astype(jnp.float32)
+            wt = w_ref[t, gi].astype(dt)                 # (cg, c_out)
+            acc = acc + jax.lax.dot_general(
+                wt, samp.astype(dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'kernel_size', 'padding', 'dilation', 'deform_groups', 'window',
+    'interpret'))
+def deform_conv2d_frame(x: jnp.ndarray,
+                        offsets: jnp.ndarray,
+                        weights: jnp.ndarray,
+                        kernel_size: int = 3,
+                        padding: int = 1,
+                        dilation: int = 1,
+                        deform_groups: int = 1,
+                        window: int = 3,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Frame-flat windowed DCN (stride 1, square planes). Semantics match
+    :func:`dynamask_tpu.ops.deform_conv.deform_conv2d_windowed` exactly
+    (bounded-deformation DCNv1, reference CUDA op
+    mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
+    n, h, w_sp, c = x.shape
+    assert h == w_sp, 'square RoI planes (SFM stages)'
+    S = h
+    k = kernel_size
+    g = deform_groups
+    cg = c // g
+    c_out = weights.shape[-1]
+    D = window
+    pad = D + 1
+    Wp = S + 2 * pad
+    Hp = S + 2 * pad + 1          # one spare row: max slice end overhang
+    N = S * Wp
+    taps = k * k
+
+    # (n, C, Hp*Wp) flattened padded planes, channels on sublanes
+    xpf = jnp.pad(x.transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (pad, pad + 1), (pad, pad))) \
+        .reshape(n, c, Hp * Wp)
+
+    # relative displacement of each tap's sample from its output pixel
+    off = offsets.reshape(n, S, S, g, taps, 2).astype(jnp.float32) \
+        .transpose(0, 4, 3, 1, 2, 5)                      # (n, T, g, S, S, 2)
+    tap_dy = (jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    tap_dx = (jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    rel_y = tap_dy[None, :, None, None, None] + off[..., 0]
+    rel_x = tap_dx[None, :, None, None, None] + off[..., 1]
+    iy = jnp.arange(S, dtype=jnp.float32)[None, None, None, :, None]
+    ix = jnp.arange(S, dtype=jnp.float32)[None, None, None, None, :]
+    ins = (((iy + rel_y > -1.0) & (iy + rel_y < S) &
+            (ix + rel_x > -1.0) & (ix + rel_x < S))
+           .astype(jnp.float32))
+    rel_y = jnp.clip(rel_y, -D, D)
+    rel_x = jnp.clip(rel_x, -D, D)
+
+    def frame(a):                 # (n, T, g, S, S) -> (n, T, g, S*Wp)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, 0), (pad, pad))) \
+            .reshape(n, taps, g, N)
+
+    w_tap = weights.reshape(taps, g, cg, c_out)
+
+    kern = functools.partial(_dcn_frame_kernel, S=S, Wp=Wp, cg=cg, g=g,
+                             c_out=c_out, D=D, taps=taps)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c, Hp * Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, taps, g, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, taps, g, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, taps, g, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps, g, cg, c_out), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_out, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, N), jnp.float32),
+        interpret=interpret,
+    )(xpf, frame(rel_y), frame(rel_x), frame(ins), w_tap)
+
+    out = out.reshape(n, c_out, S, Wp)[..., pad:pad + S]
+    return out.transpose(0, 2, 3, 1).astype(x.dtype)

@@ -313,3 +313,21 @@ class TestPallasWindowedDCN:
                                             window=3, interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_frame_kernel_matches_xla_windowed(self):
+        """Interpret-mode exactness of the lane-packed frame kernel (the
+        TPU forward dispatch of deform_conv2d(window=...)) vs the XLA
+        windowed path that provides its gradients."""
+        from dynamask_tpu.ops.deform_conv import deform_conv2d
+        from dynamask_tpu.ops.deform_conv_pallas import deform_conv2d_frame
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (3, 12, 12, 8), jnp.float32)
+        off = jax.random.uniform(key, (3, 12, 12, 36), minval=-5.0,
+                                 maxval=5.0)
+        w = jax.random.normal(key, (3, 3, 8, 16)) * 0.1
+        ref = deform_conv2d(x, off, w, deform_groups=2, roi_chunk=0,
+                            window=3)
+        got = deform_conv2d_frame(x, off, w, deform_groups=2, window=3,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
