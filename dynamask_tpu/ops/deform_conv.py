@@ -180,13 +180,15 @@ def deform_conv2d_windowed(x: jnp.ndarray,
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _windowed_fast(x, offsets, weights, kernel_size, padding, dilation,
                    deform_groups, window):
-    """TPU dispatch of the windowed DCN: lane-packed Pallas frame kernel
-    for the forward (measured 1.18x the XLA windowed path at the 28^2
-    SFM stage on v5e), with gradients taken through the XLA windowed
-    path — both implement the identical bounded-window DCNv1 semantics
-    (reference mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
-    from .deform_conv_pallas import deform_conv2d_frame
-    return deform_conv2d_frame(x, offsets, weights, kernel_size, padding,
+    """TPU dispatch of the windowed DCN: row-matmul Pallas kernel for the
+    forward (bilinear x-interp as per-row MXU matmuls — measured on v5e
+    vs the XLA windowed path: 5.1->2.6 ms at the 14^2 SFM stage,
+    10.9->1.8 ms at 28^2, 12.1->2.1 ms at 56^2, whole-program device
+    spans), with gradients taken through the XLA windowed path — both
+    implement the identical bounded-window DCNv1 semantics (reference
+    mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
+    from .deform_conv_pallas import deform_conv2d_rowmm
+    return deform_conv2d_rowmm(x, offsets, weights, kernel_size, padding,
                                dilation, deform_groups, window)
 
 

@@ -285,3 +285,140 @@ def deform_conv2d_frame(x: jnp.ndarray,
 
     out = out.reshape(n, c_out, S, Wp)[..., pad:pad + S]
     return out.transpose(0, 2, 3, 1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Row-matmul revision: bilinear sampling on the MXU.
+#
+# Both kernels above do the (2D+2)^2-cell window accumulation on the VPU —
+# 64 shifted FMAs per tap — which caps them near VPU throughput (the three
+# SFM stages cost 5.1/10.9/12.1 ms per image in the r3 trace, 47% of the
+# whole forward). This revision turns the inner x-axis interpolation into a
+# matmul: for each output row y the tent weights over padded input columns
+# form a per-(image, group, tap, row) interpolation matrix M (Wp x S) — the
+# same per-RoI-interp-matrix trick as ops/paste.py — so one
+# (8cg, Wp) @ (Wp, 9S) MXU contraction per (n, g, y) replaces 9*64 VPU
+# plane-FMAs. The remaining y-axis combination is 8 lane-broadcast FMAs,
+# and the (tap, channel) -> c_out reduction happens outside the kernel as
+# one large XLA GEMM over the sampled im2col tensor (the same GEMM the
+# reference's im2col CUDA path performs, deform_conv_cuda_kernel.cu).
+#
+# The out-of-window mask (mmcv: samples fully outside (-1, extent)
+# contribute zero) is folded in by encoding masked-out rel values as a
+# large sentinel, which drives every tent weight to zero.
+# ---------------------------------------------------------------------------
+
+
+def _dcn_rowmm_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
+                      S: int, Wp: int, cg: int, D: int, taps: int,
+                      y_blk: int):
+    NT = taps * S
+    dt = r_ref.dtype
+    # column decomposition: col = t*S + x
+    col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
+    # relative input column of matrix row j for output column x:
+    # v = j - x - pad  (pad = D+1)
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
+          - col_x - (D + 1)).astype(jnp.float32)
+    for y in range(y_blk):
+        rx = relx_ref[0, 0, y][None, :]                 # (1, NT) f32
+        ry = rely_ref[0, 0, y][None, :]
+        mx = jnp.maximum(1.0 - jnp.abs(rx - vv), 0.0).astype(dt)  # (Wp, NT)
+        lhs = r_ref[0, 0, y].reshape(8 * cg, Wp)        # u-major rows
+        g_all = jax.lax.dot_general(
+            lhs, mx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (8cg, NT)
+        samp = jnp.zeros((cg, NT), jnp.float32)
+        for ui, u in enumerate(range(-D, D + 2)):
+            wy = jnp.maximum(1.0 - jnp.abs(ry - u), 0.0)
+            samp = samp + g_all[ui * cg:(ui + 1) * cg] * wy
+        out_ref[0, 0, y] = samp.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'kernel_size', 'padding', 'dilation', 'deform_groups', 'window',
+    'interpret'))
+def deform_conv2d_rowmm(x: jnp.ndarray,
+                        offsets: jnp.ndarray,
+                        weights: jnp.ndarray,
+                        kernel_size: int = 3,
+                        padding: int = 1,
+                        dilation: int = 1,
+                        deform_groups: int = 1,
+                        window: int = 3,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Row-matmul windowed DCN (stride 1, square planes). Semantics match
+    :func:`dynamask_tpu.ops.deform_conv.deform_conv2d_windowed` exactly
+    (bounded-deformation DCNv1, reference CUDA op
+    mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
+    n, h, w_sp, c = x.shape
+    assert h == w_sp, 'square RoI planes (SFM stages)'
+    S = h
+    k = kernel_size
+    g = deform_groups
+    cg = c // g
+    c_out = weights.shape[-1]
+    D = window
+    pad = D + 1
+    Wp = S + 2 * pad
+    taps = k * k
+    NT = taps * S
+    # Mosaic block rule: the last two dims of every block must be divisible
+    # by (8, 128) or equal the full array dims — the rel blocks are
+    # (..., y_blk, taps*S), so y_blk is 8 when possible, else the full plane
+    y_blk = 8 if S % 8 == 0 else S
+
+    # ---- offset prep (identical math to deform_conv2d_windowed) ----
+    off = offsets.reshape(n, S, S, g, taps, 2).astype(jnp.float32) \
+        .transpose(0, 3, 4, 1, 2, 5)                    # (n, g, T, S, S, 2)
+    tap_dy = (jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    tap_dx = (jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    rel_y = tap_dy[None, None, :, None, None] + off[..., 0]
+    rel_x = tap_dx[None, None, :, None, None] + off[..., 1]
+    iy = jnp.arange(S, dtype=jnp.float32)[None, None, None, :, None]
+    ix = jnp.arange(S, dtype=jnp.float32)[None, None, None, None, :]
+    ins_y = (iy + rel_y > -1.0) & (iy + rel_y < S)
+    ins_x = (ix + rel_x > -1.0) & (ix + rel_x < S)
+    # sentinel = far outside every window cell -> all tent weights zero
+    rel_y = jnp.where(ins_y, jnp.clip(rel_y, -D, D), 1e4)
+    rel_x = jnp.where(ins_x, jnp.clip(rel_x, -D, D), 1e4)
+    # (n, g, S_y, taps*S): per-row t-major column packing
+    rel_y = rel_y.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
+    rel_x = rel_x.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
+
+    # ---- u-stacked input rows: R[n,g,y,u,c,:] = xp[n,g,c,y+u+pad,:] ----
+    xg = x.reshape(n, S, S, g, cg)
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+    r_rows = jnp.stack([xp[:, 1 + u: 1 + u + S] for u in range(8)],
+                       axis=1)                          # (n, 8, S_y, Wp, g, cg)
+    r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)         # (n, g, S_y, 8, cg, Wp)
+
+    kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg, D=D,
+                             taps=taps, y_blk=y_blk)
+    samp = pl.pallas_call(
+        kern,
+        grid=(n, g, S // y_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, y_blk, 8, cg, Wp),
+                         lambda i, j, b: (i, j, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, y_blk, cg, NT),
+                               lambda i, j, b: (i, j, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
+        interpret=interpret,
+    )(r_rows, rel_y, rel_x)
+
+    # ---- (tap, channel) -> c_out GEMM (im2col contraction, on the MXU) ----
+    samp = samp.reshape(n, g, S, cg, taps, S)
+    w_tap = weights.reshape(taps, g, cg, c_out).astype(x.dtype)
+    out = jnp.einsum('ngyctx,tgcd->nyxd', samp, w_tap,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)

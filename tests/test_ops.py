@@ -331,3 +331,20 @@ class TestPallasWindowedDCN:
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_rowmm_kernel_matches_xla_windowed(self):
+        """Interpret-mode exactness of the row-matmul (MXU) kernel vs the
+        XLA windowed path whose semantics it reimplements."""
+        from dynamask_tpu.ops.deform_conv import deform_conv2d_windowed
+        from dynamask_tpu.ops.deform_conv_pallas import deform_conv2d_rowmm
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], (3, 12, 12, 8), jnp.float32)
+        off = jax.random.uniform(ks[1], (3, 12, 12, 36), minval=-5.0,
+                                 maxval=5.0)
+        w = jax.random.normal(ks[2], (3, 3, 8, 16)) * 0.1
+        ref = deform_conv2d_windowed(x, off, w, deform_groups=2, window=3)
+        got = deform_conv2d_rowmm(x, off, w, deform_groups=2, window=3,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-4, atol=1e-4)
