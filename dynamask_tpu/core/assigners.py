@@ -105,12 +105,31 @@ class MaxIoUAssigner:
             overlaps = jnp.where((ignore_max > self.ignore_iof_thr)[None, :],
                                  -1.0, overlaps)
 
+        return self.assign_wrt_overlaps(overlaps, gt_valid, box_valid,
+                                        gt_labels)
+
+    def assign_wrt_overlaps(self,
+                            overlaps: jnp.ndarray,
+                            gt_valid: jnp.ndarray,
+                            box_valid: jnp.ndarray,
+                            gt_labels: Optional[jnp.ndarray] = None
+                            ) -> AssignResult:
+        """Steps 1-4 on a precomputed (K, N) overlap matrix (the reference's
+        assign_wrt_overlaps split, max_iou_assigner.py:152-219) — also the
+        entry point for approx-max overlaps (GuidedAnchoring's
+        ApproxMaxIoUAssigner reduces its 9 approxs to a max-IoU matrix
+        first, approx_max_iou_assigner.py:60-103). Invalid rows/cols must
+        already be masked to -1."""
+        num_gts = overlaps.shape[0]
+        gt_valid = gt_valid.astype(bool)
+        box_valid = box_valid.astype(bool)
+
         # Per-box best gt; per-gt best box.
         max_overlaps = jnp.max(overlaps, axis=0)          # (N,)
         argmax_overlaps = jnp.argmax(overlaps, axis=0)    # (N,)
         gt_max_overlaps = jnp.max(overlaps, axis=1)       # (K,)
 
-        assigned = jnp.full(boxes.shape[0], -1, jnp.int32)
+        assigned = jnp.full(overlaps.shape[1], -1, jnp.int32)
 
         # Step 2: negatives.
         if isinstance(self.neg_iou_thr, (tuple, list)):
@@ -152,7 +171,7 @@ class MaxIoUAssigner:
             safe_gt = jnp.clip(assigned - 1, 0, num_gts - 1)
             labels = jnp.where(assigned > 0, gt_labels[safe_gt], -1).astype(jnp.int32)
         else:
-            labels = jnp.full(boxes.shape[0], -1, jnp.int32)
+            labels = jnp.full(overlaps.shape[1], -1, jnp.int32)
 
         return AssignResult(assigned, max_overlaps, labels)
 

@@ -477,6 +477,46 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
             score_thr=tc.get('score_thr', 0.05),
             nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
             max_per_img=tc.get('max_per_img', 100))
+    if ht == 'GARetinaHead':
+        from .guided_anchor import GARetinaHead, GARetinaNet
+        approx_cfg = _cfg(hc.get('approx_anchor_generator'))
+        coder = _cfg(hc.get('anchor_coder'))
+        tr = _cfg(train_cfg)
+        ga_as = _cfg(tr.get('ga_assigner'))
+        ga_sm = _cfg(tr.get('ga_sampler'))
+        asg = _cfg(tr.get('assigner'))
+        tc = _cfg(test_cfg)
+        head = GARetinaHead(
+            num_classes=hc.get('num_classes', 80),
+            feat_channels=hc.get('feat_channels', 256),
+            stacked_convs=hc.get('stacked_convs', 4),
+            deform_groups=hc.get('deform_groups', 4))
+        return GARetinaNet(
+            backbone=backbone, neck=neck, bbox_head=head,
+            num_classes=hc.get('num_classes', 80),
+            octave_base_scale=approx_cfg.get('octave_base_scale', 4),
+            scales_per_octave=approx_cfg.get('scales_per_octave', 3),
+            anchor_ratios=tuple(approx_cfg.get('ratios', (0.5, 1.0, 2.0))),
+            anchor_strides=tuple(approx_cfg.get('strides',
+                                                (8, 16, 32, 64, 128))),
+            target_stds=tuple(coder.get('target_stds', (1., 1., 1., 1.))),
+            ga_pos_iou_thr=ga_as.get('pos_iou_thr', 0.5),
+            ga_neg_iou_thr=ga_as.get('neg_iou_thr', 0.4),
+            ga_min_pos_iou=ga_as.get('min_pos_iou', 0.4),
+            ga_sample_num=ga_sm.get('num', 256),
+            ga_pos_fraction=ga_sm.get('pos_fraction', 0.5),
+            pos_iou_thr=asg.get('pos_iou_thr', 0.5),
+            neg_iou_thr=asg.get('neg_iou_thr', 0.5),
+            min_pos_iou=asg.get('min_pos_iou', 0.0),
+            center_ratio=tr.get('center_ratio', 0.2),
+            ignore_ratio=tr.get('ignore_ratio', 0.5),
+            smoothl1_beta=_cfg(hc.get('loss_bbox')).get('beta', 0.04),
+            shape_beta=_cfg(hc.get('loss_shape')).get('beta', 0.2),
+            loc_filter_thr=hc.get('loc_filter_thr', 0.01),
+            nms_pre=tc.get('nms_pre', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
     assert ht == 'RetinaHead', ht
     anchor_cfg = _cfg(hc.get('anchor_generator'))
     coder = _cfg(hc.get('bbox_coder'))

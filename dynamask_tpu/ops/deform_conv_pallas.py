@@ -1,5 +1,11 @@
-"""Pallas TPU kernel for the windowed deformable conv — measured, NOT the
-default.
+"""Pallas TPU kernels for the windowed deformable conv.
+
+Three generations live here, all exactness-tested against the XLA windowed
+path (same bounded-window DCNv1 semantics). The third — the row-matmul
+kernel :func:`deform_conv2d_rowmm`, which moves the bilinear sampling onto
+the MXU — is the TPU inference default (dispatched from
+``deform_conv.deform_conv2d``; measured 2-6x the XLA path per SFM stage).
+The first two are kept as the measured record of how it got there.
 
 Hypothesis: the XLA windowed DCN (ops/deform_conv.py:deform_conv2d_windowed)
 re-reads shifted feature slices per window cell, so a VMEM-resident kernel
