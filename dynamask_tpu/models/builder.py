@@ -62,6 +62,16 @@ def build_backbone(cfg: dict):
         cfg.pop('style', None)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
         return RegNet(**cfg)
+    if t == 'HourglassNet':
+        from .hourglass import HourglassNet
+        cfg.pop('norm_cfg', None)
+        return HourglassNet(
+            downsample_times=cfg.get('downsample_times', 5),
+            num_stacks=cfg.get('num_stacks', 2),
+            stage_channels=tuple(cfg.get('stage_channels',
+                                         (256, 256, 384, 384, 384, 512))),
+            stage_blocks=tuple(cfg.get('stage_blocks', (2, 2, 2, 2, 2, 4))),
+            feat_channel=cfg.get('feat_channel', 256))
     raise KeyError(f'unsupported backbone {t}')
 
 
@@ -728,6 +738,31 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             nms_pre=tc.get('nms_pre', 1000),
             score_thr=tc.get('score_thr', 0.05),
             nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100))
+    if t == 'CornerNet':
+        from .cornernet import CornerNet, CornerHead
+        backbone = build_backbone(cfg['backbone'])
+        hc = _cfg(cfg['bbox_head'])
+        assert hc.pop('type') == 'CornerHead'
+        head = CornerHead(
+            num_classes=hc.get('num_classes', 80),
+            in_channels=hc.get('in_channels', 256),
+            num_feat_levels=hc.get('num_feat_levels', 2),
+            corner_emb_channels=hc.get('corner_emb_channels', 1))
+        tc = _cfg(test_cfg)
+        emb = _cfg(hc.get('loss_embedding'))
+        return CornerNet(
+            backbone=backbone, bbox_head=head,
+            num_classes=hc.get('num_classes', 80),
+            pull_weight=emb.get('pull_weight', 0.25),
+            push_weight=emb.get('push_weight', 0.25),
+            offset_beta=_cfg(hc.get('loss_offset')).get('beta', 1.0),
+            corner_topk=tc.get('corner_topk', 100),
+            local_maximum_kernel=tc.get('local_maximum_kernel', 3),
+            distance_threshold=tc.get('distance_threshold', 0.5),
+            num_dets=tc.get('num_dets', 1000),
+            score_thr=tc.get('score_thr', 0.05),
+            nms_iou_thr=_cfg(tc.get('nms_cfg')).get('iou_threshold', 0.5),
             max_per_img=tc.get('max_per_img', 100))
     if t == 'GFL':
         from .gfl import GFL, GFLHead
