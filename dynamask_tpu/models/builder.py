@@ -62,6 +62,19 @@ def build_backbone(cfg: dict):
         cfg.pop('style', None)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
         return RegNet(**cfg)
+    if t == 'DetectoRS_ResNet':
+        from .detectors_resnet import DetectoRSResNet
+        sac = _cfg(cfg.get('sac'))
+        return DetectoRSResNet(
+            depth=cfg.get('depth', 50),
+            num_stages=cfg.get('num_stages', 4),
+            out_indices=tuple(cfg.get('out_indices', (0, 1, 2, 3))),
+            frozen_stages=cfg.get('frozen_stages', 1),
+            norm_eval=cfg.get('norm_eval', True),
+            stage_with_sac=tuple(cfg.get('stage_with_sac',
+                                         (False, True, True, True))),
+            sac_use_deform=sac.get('use_deform', False),
+            rfp_inplanes=cfg.get('rfp_inplanes'))
     if t == 'HourglassNet':
         from .hourglass import HourglassNet
         cfg.pop('norm_cfg', None)
@@ -98,6 +111,22 @@ def build_neck(cfg: dict):
                       num_outs=cfg.get('num_outs', 5),
                       stack_times=cfg.get('stack_times', 7),
                       start_level=cfg.get('start_level', 0))
+    if t == 'RFP':
+        from .necks_extra import RFP
+        rfp_steps = cfg.pop('rfp_steps', 2)
+        rfp_backbone = _cfg(cfg.pop('rfp_backbone'))
+        rfp_backbone.pop('pretrained', None)
+        aspp_out = cfg.pop('aspp_out_channels', 64)
+        aspp_dil = tuple(cfg.pop('aspp_dilations', (1, 3, 6, 1)))
+        fpn = FPN(in_channels=tuple(cfg['in_channels']),
+                  out_channels=cfg.get('out_channels', 256),
+                  num_outs=cfg.get('num_outs', 5),
+                  start_level=cfg.get('start_level', 0),
+                  add_extra_convs=cfg.get('add_extra_convs', False))
+        backbones = tuple(build_backbone(dict(rfp_backbone))
+                          for _ in range(rfp_steps - 1))
+        return RFP(fpn=fpn, rfp_backbones=backbones,
+                   aspp_out_channels=aspp_out, aspp_dilations=aspp_dil)
     cls = {'FPN': FPN, 'PAFPN': PAFPN}.get(t)
     if cls is None:
         raise KeyError(f'unsupported neck {t}')

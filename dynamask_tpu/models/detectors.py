@@ -59,7 +59,13 @@ class TwoStageDetector(nn.Module):
                                scales=self.anchor_scales)
 
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
-        return self.neck(self.backbone(images, train=train), train=train)
+        feats = self.backbone(images, train=train)
+        from .necks_extra import RFP
+        if isinstance(self.neck, RFP):
+            # recursive feature pyramid needs the image for its backbone
+            # re-runs (reference necks/rfp.py:110-128)
+            return self.neck(images, feats, train=train)
+        return self.neck(feats, train=train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         """Default apply: a cheap parameter-touching pass used for ``init``.
@@ -253,7 +259,13 @@ class FastRCNN(nn.Module):
     roi_head: nn.Module
 
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
-        return self.neck(self.backbone(images, train=train), train=train)
+        feats = self.backbone(images, train=train)
+        from .necks_extra import RFP
+        if isinstance(self.neck, RFP):
+            # recursive feature pyramid needs the image for its backbone
+            # re-runs (reference necks/rfp.py:110-128)
+            return self.neck(images, feats, train=train)
+        return self.neck(feats, train=train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         feats = self.extract_feat(batch['image'], train=train)
@@ -304,7 +316,13 @@ class RPN(nn.Module):
                                scales=self.anchor_scales)
 
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
-        return self.neck(self.backbone(images, train=train), train=train)
+        feats = self.backbone(images, train=train)
+        from .necks_extra import RFP
+        if isinstance(self.neck, RFP):
+            # recursive feature pyramid needs the image for its backbone
+            # re-runs (reference necks/rfp.py:110-128)
+            return self.neck(images, feats, train=train)
+        return self.neck(feats, train=train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         return self.rpn_head(self.extract_feat(batch['image'], train),

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..utils.registry import NECKS
-from .layers import max_pool
+from .layers import max_pool, kaiming_normal_fan_out
 
 
 def _resize_to(x, hw):
@@ -170,3 +170,59 @@ class NASFPN(nn.Module):
             p7 = SumCell(oc, name=s + 'sum_77_7')(p7, p7_tmp, sz(p7))
             p6 = GlobalPoolingCell(oc, name=s + 'gp_75_6')(p7, p5, sz(p6))
         return p3, p4, p5, p6, p7
+
+
+class ASPP(nn.Module):
+    """Atrous Spatial Pyramid Pooling as used by DetectoRS' RFP
+    (reference necks/rfp.py:9-56): three dilated 3x3/1x1 branches on the
+    feature plus a global-average branch broadcast back, concatenated."""
+
+    out_channels: int
+    dilations: Tuple[int, ...] = (1, 3, 6, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        for i, d in enumerate(self.dilations):
+            k = 3 if d > 1 else 1
+            inp = gap if i == len(self.dilations) - 1 else x
+            pad = d if d > 1 else 0
+            y = nn.relu(nn.Conv(self.out_channels, (k, k),
+                                padding=[(pad, pad), (pad, pad)],
+                                kernel_dilation=(d, d),
+                                kernel_init=kaiming_normal_fan_out(),
+                                name=f'aspp_{i}')(inp))
+            outs.append(y)
+        outs[-1] = jnp.broadcast_to(outs[-1], outs[-2].shape)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class RFP(nn.Module):
+    """Recursive Feature Pyramid (reference necks/rfp.py:59-128): FPN, then
+    ``rfp_steps - 1`` rounds of feeding ASPP-compressed pyramid levels back
+    through fresh backbone copies and re-running the (shared) FPN, fused by
+    a zero-init sigmoid gate. Call with the input IMAGE as well as the
+    step-0 backbone features."""
+
+    fpn: nn.Module
+    rfp_backbones: Tuple[nn.Module, ...]     # one per recursion step
+    aspp_out_channels: int = 64
+    aspp_dilations: Tuple[int, ...] = (1, 3, 6, 1)
+
+    @nn.compact
+    def __call__(self, images, inputs, train: bool = False):
+        x = self.fpn(inputs, train=train)
+        aspp = ASPP(self.aspp_out_channels, self.aspp_dilations,
+                    name='rfp_aspp')
+        gate = nn.Conv(1, (1, 1), kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, name='rfp_weight')
+        for step, backbone in enumerate(self.rfp_backbones):
+            rfp_feats = [aspp(x[i + 1]) for i in
+                         range(len(backbone.out_indices) - 1)]
+            feats = backbone(images, rfp_feats=rfp_feats, train=train)
+            x_new_raw = self.fpn(feats, train=train)
+            x = [jax.nn.sigmoid(gate(xi)) * xi +
+                 (1 - jax.nn.sigmoid(gate(xi))) * xold
+                 for xi, xold in zip(x_new_raw, x)]
+        return x
