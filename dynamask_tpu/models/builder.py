@@ -111,6 +111,12 @@ def build_neck(cfg: dict):
                       num_outs=cfg.get('num_outs', 5),
                       stack_times=cfg.get('stack_times', 7),
                       start_level=cfg.get('start_level', 0))
+    if t == 'NASFCOS_FPN':
+        from .nasfcos import NASFCOS_FPN
+        return NASFCOS_FPN(in_channels=tuple(cfg['in_channels']),
+                           out_channels=cfg.get('out_channels', 256),
+                           num_outs=cfg.get('num_outs', 5),
+                           start_level=cfg.get('start_level', 1))
     if t == 'RFP':
         from .necks_extra import RFP
         rfp_steps = cfg.pop('rfp_steps', 2)
@@ -824,19 +830,31 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             score_thr=tc.get('score_thr', 0.05),
             nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.6),
             max_per_img=tc.get('max_per_img', 100))
-    if t == 'FCOS':
+    if t in ('FCOS', 'NASFCOS'):
         from .fcos import FCOS, FCOSHead
         backbone = build_backbone(cfg['backbone'])
         neck = build_neck(cfg['neck'])
         hc = _cfg(cfg['bbox_head'])
-        assert hc.pop('type') == 'FCOSHead'
+        ht = hc.pop('type')
         strides = tuple(hc.get('strides', (8, 16, 32, 64, 128)))
-        head = FCOSHead(num_classes=hc.get('num_classes', 80),
-                        in_channels=hc.get('in_channels', 256),
-                        feat_channels=hc.get('feat_channels', 256),
-                        stacked_convs=hc.get('stacked_convs', 4),
-                        strides=strides)
+        if ht == 'NASFCOSHead':
+            from .nasfcos import NASFCOSHead
+            head = NASFCOSHead(num_classes=hc.get('num_classes', 80),
+                               feat_channels=hc.get('feat_channels', 256),
+                               strides=strides,
+                               gn_groups=_cfg(hc.get('norm_cfg')).get(
+                                   'num_groups', 32))
+        else:
+            assert ht == 'FCOSHead', ht
+            head = FCOSHead(num_classes=hc.get('num_classes', 80),
+                            in_channels=hc.get('in_channels', 256),
+                            feat_channels=hc.get('feat_channels', 256),
+                            stacked_convs=hc.get('stacked_convs', 4),
+                            strides=strides)
         tc = _cfg(test_cfg)
+        if t == 'NASFCOS':
+            from .nasfcos import NASFCOS
+            FCOS = NASFCOS
         return FCOS(backbone=backbone, neck=neck, bbox_head=head,
                     num_classes=hc.get('num_classes', 80), strides=strides,
                     regress_ranges=tuple(tuple(r) for r in hc.get(

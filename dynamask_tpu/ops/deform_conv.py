@@ -391,3 +391,92 @@ class DeformConv2dPack:
     come from a plain conv over the same input (zero-initialized). Used as a
     flax submodule via :class:`dynamask_tpu.models.dynamask_head.DCNPack`."""
     pass
+
+
+@partial(jax.jit, static_argnames=('kernel_size', 'padding', 'dilation',
+                                   'deform_groups', 'window'))
+def modulated_deform_conv2d(x: jnp.ndarray,
+                            offsets: jnp.ndarray,
+                            mask: jnp.ndarray,
+                            weights: jnp.ndarray,
+                            kernel_size: int = 3,
+                            padding: int = 1,
+                            dilation: int = 1,
+                            deform_groups: int = 1,
+                            window: int = 3) -> jnp.ndarray:
+    """DCNv2 (modulated) forward — each tap's bilinear sample is scaled by
+    a learned per-position mask before the weight contraction (reference:
+    mmdet/ops/dcn ModulatedDeformConv /
+    modulated_deform_conv_cuda_kernel.cu; mask already sigmoided by the
+    caller, mmcv ModulatedDeformConv2dPack layout (g, kh, kw)).
+
+    Stride-1 windowed formulation (same bounded-deformation semantics as
+    :func:`deform_conv2d_windowed`).
+
+    Args:
+        x: (N, H, W, C); offsets (N, H, W, 2*G*K*K); mask (N, H, W, G*K*K);
+        weights (K, K, C, C_out).
+    """
+    n, h, w, c = x.shape
+    k = kernel_size
+    g = deform_groups
+    cg = c // g
+    c_out = weights.shape[-1]
+    D = window
+    pad = D + 1
+
+    xg = x.reshape(n, h, w, g, cg).transpose(3, 0, 1, 2, 4) \
+        .reshape(g * n, h, w, cg)
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    off = offsets.reshape(n, h, w, g, k * k, 2).astype(jnp.float32) \
+        .transpose(3, 0, 1, 2, 4, 5).reshape(g * n, h, w, k * k, 2)
+    off_taps = off.transpose(3, 0, 1, 2, 4)            # (T, g*n, h, w, 2)
+    mod = mask.reshape(n, h, w, g, k * k).astype(jnp.float32) \
+        .transpose(3, 0, 1, 2, 4).reshape(g * n, h, w, k * k)
+    mod_taps = mod.transpose(3, 0, 1, 2)               # (T, g*n, h, w)
+    tap_dy = (jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    tap_dx = (jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    w_tap = weights.reshape(k * k, g, cg, c_out)
+
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    dt = x.dtype
+
+    def tap_body(out, tap):
+        off_t, mod_t, dy, dx, m_t = tap
+        rel_y = dy + off_t[..., 0]
+        rel_x = dx + off_t[..., 1]
+        ins_y = ((iy + rel_y > -1.0) & (iy + rel_y < h)).astype(jnp.float32)
+        ins_x = ((ix + rel_x > -1.0) & (ix + rel_x < w)).astype(jnp.float32)
+        rel_y = jnp.clip(rel_y, -D, D)
+        rel_x = jnp.clip(rel_x, -D, D)
+        wys = [(jnp.clip(1.0 - jnp.abs(rel_y - u), 0.0) * ins_y).astype(dt)
+               for u in range(-D, D + 2)]
+        wxs = [(jnp.clip(1.0 - jnp.abs(rel_x - v), 0.0) * ins_x).astype(dt)
+               for v in range(-D, D + 2)]
+        sampled = jnp.zeros((g * n, h, w, cg), dt)
+        for ui, u in enumerate(range(-D, D + 2)):
+            row_acc = None
+            for vi, v in enumerate(range(-D, D + 2)):
+                sl = jax.lax.slice(
+                    xp, (0, pad + u, pad + v, 0),
+                    (g * n, pad + u + h, pad + v + w, cg))
+                term = sl * wxs[vi][..., None]
+                row_acc = term if row_acc is None else row_acc + term
+            sampled = sampled + row_acc * wys[ui][..., None]
+        sampled = sampled * mod_t[..., None].astype(dt)
+        for gi in range(g):
+            sg = jax.lax.slice_in_dim(sampled, gi * n, (gi + 1) * n, 1,
+                                      axis=0)
+            out = out + jnp.einsum(
+                'nhwk,ko->nhwo', sg, m_t[gi].astype(dt),
+                preferred_element_type=jnp.float32)
+        return out, None
+
+    out0 = jnp.zeros((n, h, w, c_out), jnp.float32)
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
+                          (off_taps, mod_taps, tap_dy, tap_dx, w_tap))
+    return out.astype(x.dtype)
