@@ -117,6 +117,17 @@ def build_neck(cfg: dict):
                            out_channels=cfg.get('out_channels', 256),
                            num_outs=cfg.get('num_outs', 5),
                            start_level=cfg.get('start_level', 1))
+    if t == 'FPN_CARAFE':
+        from .carafe import FPN_CARAFE
+        up = _cfg(cfg.get('upsample_cfg'))
+        return FPN_CARAFE(in_channels=tuple(cfg['in_channels']),
+                          out_channels=cfg.get('out_channels', 256),
+                          num_outs=cfg.get('num_outs', 5),
+                          start_level=cfg.get('start_level', 0),
+                          up_kernel=up.get('up_kernel', 5),
+                          encoder_kernel=up.get('encoder_kernel', 3),
+                          compressed_channels=up.get('compressed_channels',
+                                                     64))
     if t == 'RFP':
         from .necks_extra import RFP
         rfp_steps = cfg.pop('rfp_steps', 2)
@@ -251,7 +262,9 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
-                class_agnostic=mhc.get('class_agnostic', False))
+                class_agnostic=mhc.get('class_agnostic', False),
+                upsample_type=_cfg(mhc.get('upsample_cfg')).get(
+                    'type', 'deconv'))
             common['loss_mask_weight'] = _cfg(
                 mhc.get('loss_mask')).get('loss_weight', 1.0)
         if t == 'MaskScoringRoIHead':
@@ -274,7 +287,9 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
-                class_agnostic=mhc.get('class_agnostic', False))
+                class_agnostic=mhc.get('class_agnostic', False),
+                upsample_type=_cfg(mhc.get('upsample_cfg')).get(
+                    'type', 'deconv'))
             common['loss_mask_weight'] = _cfg(
                 mhc.get('loss_mask')).get('loss_weight', 1.0)
         isr = _cfg(rcnn_train.get('isr'))
@@ -421,7 +436,9 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
-                class_agnostic=mhc.get('class_agnostic', False))
+                class_agnostic=mhc.get('class_agnostic', False),
+                upsample_type=_cfg(mhc.get('upsample_cfg')).get(
+                    'type', 'deconv'))
         stage_assigners = [_cfg(s.get('assigner')) for s in
                            (train_cfg.get('rcnn') or [])] if isinstance(
             train_cfg.get('rcnn'), (list, tuple)) else []

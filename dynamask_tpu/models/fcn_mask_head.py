@@ -23,6 +23,7 @@ class FCNMaskHead(nn.Module):
     conv_out_channels: int = 256
     num_classes: int = 80
     class_agnostic: bool = False
+    upsample_type: str = 'deconv'   # 'deconv' | 'carafe' (configs/carafe/)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -33,9 +34,14 @@ class FCNMaskHead(nn.Module):
                         kernel_init=kaiming_normal_fan_out(),
                         name=f'conv_{i}')(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(self.conv_out_channels, (2, 2), strides=(2, 2),
-                             kernel_init=kaiming_normal_fan_out(),
-                             name='upsample')(x)
+        if self.upsample_type == 'carafe':
+            from .carafe import CARAFEPack
+            x = CARAFEPack(scale=2, name='upsample')(x)
+        else:
+            x = nn.ConvTranspose(self.conv_out_channels, (2, 2),
+                                 strides=(2, 2),
+                                 kernel_init=kaiming_normal_fan_out(),
+                                 name='upsample')(x)
         x = nn.relu(x)
         out = 1 if self.class_agnostic else self.num_classes
         return nn.Conv(out, (1, 1), kernel_init=kaiming_normal_fan_out(),
