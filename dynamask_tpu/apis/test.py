@@ -141,8 +141,15 @@ def multi_device_test(det, variables, dataset, samples_per_device: int = 1,
     # global batch divisible by the mesh; loader pads ragged tails by
     # wrapping (drop_last=False), extras are cut by the img_id bookkeeping
     global_bs = samples_per_device * n_dev
-    loader = build_dataloader(dataset, samples_per_gpu=global_bs,
+    n_proc = jax.process_count()
+    # multi-host: each process loads its 1/n_proc shard and contributes its
+    # local devices; outputs are allgathered so every host holds the full
+    # result list (reference collect_results_cpu, apis/test.py:117-160)
+    loader = build_dataloader(dataset,
+                              samples_per_gpu=global_bs // n_proc,
                               workers_per_gpu=4, shuffle=False,
+                              num_shards=n_proc,
+                              shard_index=jax.process_index(),
                               drop_last=False)
     fn = make_test_fn(det, variables, mask_canvas, mask_thr)
 
@@ -152,9 +159,21 @@ def multi_device_test(det, variables, dataset, samples_per_device: int = 1,
     t0 = time.time()
     for batch_np in loader:
         img_ids = batch_np.pop('img_id')
-        batch = {k: jax.device_put(jnp.asarray(v), shard)
-                 for k, v in batch_np.items()}
-        out = jax.device_get(fn(batch))
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            batch = {k: jax.make_array_from_process_local_data(
+                shard, jnp.asarray(v)) for k, v in batch_np.items()}
+            out = jax.device_get(
+                multihost_utils.process_allgather(fn(batch), tiled=True))
+            img_ids = multihost_utils.process_allgather(
+                jnp.asarray(img_ids), tiled=True)
+            ori = multihost_utils.process_allgather(
+                jnp.asarray(batch_np['ori_shape']), tiled=True)
+            batch_np = dict(batch_np, ori_shape=jax.device_get(ori))
+        else:
+            batch = {k: jax.device_put(jnp.asarray(v), shard)
+                     for k, v in batch_np.items()}
+            out = jax.device_get(fn(batch))
         b = out['dets'].shape[0]
         for i in range(b):
             iid = int(img_ids[i])

@@ -77,18 +77,25 @@ def train_detector(cfg, work_dir: Optional[str] = None,
 
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
-    logger.info(f'devices: {n_dev} x {devices[0].platform}')
+    n_proc = jax.process_count()
+    local_dev = n_dev // n_proc if n_proc > 1 else n_dev
+    logger.info(f'devices: {n_dev} x {devices[0].platform} '
+                f'({n_proc} process(es))')
 
     dataset = build_dataset(dict(cfg.data['train']),
                             default_args=dict(
                                 max_gts=cfg.data.get('max_gts', 100),
                                 mask_crop_size=cfg.data.get('mask_crop_size',
                                                             128)))
+    # each process loads its own 1/n_proc shard of the global batch
+    # (reference: DistributedGroupSampler, datasets/loader/sampler.py)
     loader = build_dataloader(dataset,
                               samples_per_gpu=(cfg.data['samples_per_gpu'] *
-                                               n_dev),
+                                               local_dev),
                               workers_per_gpu=cfg.data.get('workers_per_gpu',
                                                            4),
+                              num_shards=n_proc,
+                              shard_index=jax.process_index(),
                               seed=seed)
     steps_per_epoch = len(loader)
     if max_steps_per_epoch:

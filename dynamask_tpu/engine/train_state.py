@@ -204,9 +204,23 @@ def jit_train_step_sharded(det, tx, mesh: Mesh, axis: str = 'data',
         return jax.tree_util.tree_map(lambda _: shard, batch)
 
     def place(state, batch, rng):
-        state = jax.device_put(state, repl)
-        batch = jax.device_put(batch, batch_sharding(batch))
-        rng = jax.device_put(rng, repl)
+        if jax.process_count() > 1:
+            # multi-host: every process holds its own loader shard; build
+            # the global batch from the per-process local data (reference
+            # equivalent: DistributedSampler + DDP,
+            # mmdet/apis/train.py:71-79 + datasets/loader/build_loader.py)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(shard, x),
+                batch)
+            from jax.experimental import multihost_utils
+            state = multihost_utils.host_local_array_to_global_array(
+                state, mesh, P())
+            rng = multihost_utils.host_local_array_to_global_array(
+                rng, mesh, P())
+        else:
+            state = jax.device_put(state, repl)
+            batch = jax.device_put(batch, batch_sharding(batch))
+            rng = jax.device_put(rng, repl)
         return state, batch, rng
 
     jitted = jax.jit(step_fn, donate_argnums=(0,))

@@ -22,6 +22,10 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--max-steps-per-epoch', type=int, default=None,
                    help='truncate epochs (smoke runs)')
+    p.add_argument('--launcher', choices=['none', 'jax'], default='none',
+                   help="'jax' initializes jax.distributed for multi-host "
+                        'training (the reference equivalent of '
+                        '--launcher pytorch + init_dist)')
     p.add_argument('--options', nargs='+', default=[],
                    help='override config: key=value (dotted keys)')
     return p.parse_args()
@@ -29,6 +33,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.launcher == 'jax' or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        # multi-host init BEFORE first jax use (coordinator/process ids from
+        # the standard env vars or TPU metadata); reference:
+        # mmdet/apis/train.py init_dist via mmcv
+        import jax
+        jax.distributed.initialize()
     from dynamask_tpu.utils.config import Config
     from dynamask_tpu.apis import train_detector
 
