@@ -432,3 +432,260 @@ class GARetinaNet(nn.Module):
         dets, labels, valid = jax.vmap(single)(all_boxes, all_scores,
                                                batch['scale_factor'])
         return {'dets': dets, 'labels': labels, 'det_valid': valid}
+
+
+@HEADS.register_module()
+class GARPNHead(nn.Module):
+    """Guided-anchor RPN head (ga_rpn_head.py:13-60): shared 3×3 conv, then
+    the GuidedAnchorHead stack — 1×1 loc/shape convs, one FeatureAdaption,
+    1×1 binary cls and 4-ch reg (dense in place of MaskedConv2d)."""
+
+    feat_channels: int = 256
+    deform_groups: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        rpn_conv = nn.Conv(self.feat_channels, (3, 3),
+                           padding=[(1, 1), (1, 1)],
+                           kernel_init=normal_init(0.01), name='rpn_conv')
+        conv_loc = nn.Conv(1, (1, 1), kernel_init=normal_init(0.01),
+                           bias_init=nn.initializers.constant(-4.59512),
+                           name='conv_loc')
+        conv_shape = nn.Conv(2, (1, 1), kernel_init=normal_init(0.01),
+                             name='conv_shape')
+        adaption = FeatureAdaption(self.feat_channels,
+                                   deform_groups=self.deform_groups,
+                                   name='feature_adaption')
+        conv_cls = nn.Conv(1, (1, 1), kernel_init=normal_init(0.01),
+                           name='conv_cls')
+        conv_reg = nn.Conv(4, (1, 1), kernel_init=normal_init(0.01),
+                           name='conv_reg')
+        cls_out, reg_out, shape_out, loc_out = [], [], [], []
+        for x in feats:
+            x = nn.relu(rpn_conv(x))
+            loc = conv_loc(x)
+            shape = conv_shape(x)
+            xa = adaption(x, shape)
+            cls_out.append(conv_cls(xa))
+            reg_out.append(conv_reg(xa))
+            shape_out.append(shape)
+            loc_out.append(loc)
+        return cls_out, reg_out, shape_out, loc_out
+
+
+@DETECTORS.register_module()
+class GAFasterRCNN(nn.Module):
+    """Faster R-CNN with a guided-anchor RPN (reference:
+    configs/guided_anchoring/ga_faster_r50_fpn_1x_coco.py — the detector
+    type stays FasterRCNN; the GA behavior lives in the RPN head + its
+    losses, guided_anchor_head.py:646-750 with num_classes=1)."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_head: nn.Module
+    roi_head: nn.Module
+    # approx/square generators (ga_faster config: octave 8x3, ratios 3)
+    octave_base_scale: float = 8.0
+    scales_per_octave: int = 3
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    target_stds: Tuple[float, ...] = (0.07, 0.07, 0.14, 0.14)
+    # train_cfg.rpn
+    ga_pos_iou_thr: float = 0.7
+    ga_neg_iou_thr: float = 0.3
+    ga_min_pos_iou: float = 0.3
+    ga_sample_num: int = 256
+    ga_pos_fraction: float = 0.5
+    rpn_pos_iou_thr: float = 0.7
+    rpn_neg_iou_thr: float = 0.3
+    rpn_min_pos_iou: float = 0.3
+    rpn_num_samples: int = 256
+    rpn_pos_fraction: float = 0.5
+    center_ratio: float = 0.2
+    ignore_ratio: float = 0.5
+    shape_beta: float = 0.2
+    rpn_beta: float = 1.0 / 9.0
+    # proposals
+    loc_filter_thr: float = 0.01
+    rpn_nms_pre_train: int = 2000
+    rpn_nms_pre_test: int = 1000
+    rpn_max_num: int = 300
+    rpn_nms_thr: float = 0.7
+
+    def extract_feat(self, images, train=False):
+        return self.neck(self.backbone(images, train=train), train=train)
+
+    def __call__(self, batch, train: bool = False):
+        feats = self.extract_feat(batch['image'], train=train)
+        cls_scores, *_ = self.rpn_head(feats, train=train)
+        dummy = self.roi_head.init_dummy(feats, train=train)
+        return cls_scores, dummy
+
+    def _generators(self):
+        approx_gen = AnchorGenerator(
+            strides=self.anchor_strides, ratios=self.anchor_ratios,
+            octave_base_scale=self.octave_base_scale,
+            scales_per_octave=self.scales_per_octave)
+        square_gen = AnchorGenerator(
+            strides=self.anchor_strides, ratios=(1.0,),
+            scales=(self.octave_base_scale,))
+        return approx_gen, square_gen
+
+    def _guided(self, squares, shape_preds, b):
+        flat_shape = jnp.concatenate(
+            [s.reshape(b, -1, 2) for s in shape_preds], 1)
+        flat_shape = jax.lax.stop_gradient(flat_shape.astype(jnp.float32))
+        deltas = jnp.concatenate([jnp.zeros_like(flat_shape), flat_shape],
+                                 -1)
+        return jax.vmap(
+            lambda d: delta2bbox(squares, d, (0., 0., 0., 0.),
+                                 (1., 1., 1., 1.)))(deltas)
+
+    def _masked_cls(self, cls_scores, loc_preds, b):
+        """suppress loc-filtered positions by driving logits to -inf
+        (output-equivalent to the reference's mask gather)."""
+        out = []
+        for cs, lp in zip(cls_scores, loc_preds):
+            keep = jax.nn.sigmoid(lp.astype(jnp.float32)) >= \
+                self.loc_filter_thr
+            out.append(jnp.where(keep, cs.astype(jnp.float32), -1e4))
+        return out
+
+    def forward_train(self, batch) -> Dict[str, jnp.ndarray]:
+        from .rpn_head import rpn_loss, rpn_get_proposals
+        from ..core.samplers import RandomSampler
+        feats = self.extract_feat(batch['image'], train=True)
+        cls_scores, bbox_preds, shape_preds, loc_preds = self.rpn_head(
+            feats, train=True)
+        sizes = [tuple(f.shape[1:3]) for f in feats]
+        b = cls_scores[0].shape[0]
+        num_lvls = len(sizes)
+        strides = jnp.asarray(self.anchor_strides, jnp.float32)
+        approx_gen, square_gen = self._generators()
+
+        # loc loss
+        min_anchor = self.octave_base_scale * self.anchor_strides[0]
+        loc_cells = sum(h * w for (h, w) in sizes)
+        flat_loc = jnp.concatenate(
+            [p.reshape(b, -1).astype(jnp.float32) for p in loc_preds], 1)
+
+        def loc_single(gts, gvalid):
+            ts, ws = [], []
+            for lvl, size in enumerate(sizes):
+                t, wgt = ga_loc_targets_level(
+                    gts, gvalid, lvl, num_lvls, size, strides, min_anchor,
+                    self.center_ratio, self.ignore_ratio)
+                ts.append(t)
+                ws.append(wgt)
+            return jnp.concatenate(ts), jnp.concatenate(ws)
+
+        loc_t, loc_w = jax.vmap(loc_single)(batch['gt_boxes'],
+                                            batch['gt_valid'])
+        loc_loss = jnp.sum(_focal_elementwise(
+            flat_loc[..., None], loc_t[..., None], 2.0, 0.25)[..., 0] *
+            loc_w) / (b * loc_cells / 200.0)
+
+        # shape loss (approx-max assignment, sampled BoundedIoU)
+        approxs = jnp.concatenate(approx_gen.grid_anchors(sizes), 0)
+        squares = jnp.concatenate(square_gen.grid_anchors(sizes), 0)
+        na = squares.shape[0]
+        k_app = approxs.shape[0] // na
+        approxs = approxs.reshape(na, k_app, 4)
+        square_valid = jnp.concatenate(
+            square_gen.valid_flags(sizes, batch['img_shape'][0]), 0)
+        flat_shape = jnp.concatenate(
+            [s.reshape(b, -1, 2).astype(jnp.float32) for s in shape_preds],
+            1)
+        ga_assigner = MaxIoUAssigner(
+            pos_iou_thr=self.ga_pos_iou_thr,
+            neg_iou_thr=self.ga_neg_iou_thr,
+            min_pos_iou=self.ga_min_pos_iou, match_low_quality=True)
+
+        def shape_single(shape_s, gts, gvalid, key):
+            ov = bbox_overlaps(gts, approxs.reshape(-1, 4))
+            ov = jnp.max(ov.reshape(-1, na, k_app), -1)
+            ov = jnp.where(gvalid[:, None] & square_valid[None, :], ov, -1.0)
+            assign = ga_assigner.assign_wrt_overlaps(
+                ov, gvalid, square_valid, None)
+            pos = assign.gt_inds > 0
+            neg = (assign.gt_inds == 0) & square_valid
+            kp, kn = jax.random.split(key)
+            cap = int(self.ga_sample_num * self.ga_pos_fraction)
+            pr = jnp.where(pos, jax.random.uniform(kp, (na,)), -1.0)
+            pos_keep = pos & (jnp.argsort(jnp.argsort(-pr)) < cap)
+            n_pos = jnp.sum(pos_keep)
+            nr = jnp.where(neg, jax.random.uniform(kn, (na,)), -1.0)
+            neg_keep = neg & (jnp.argsort(jnp.argsort(-nr)) <
+                              self.ga_sample_num - n_pos)
+            gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
+            pred_anchor = delta2bbox(
+                squares,
+                jnp.concatenate([jnp.zeros_like(shape_s), shape_s], -1),
+                (0., 0., 0., 0.), (1., 1., 1., 1.))
+            l = bounded_iou_loss(
+                pred_anchor, gts[gt_idx], beta=self.shape_beta,
+                weight=pos_keep.astype(jnp.float32)[:, None], avg_factor=1.0)
+            return l, n_pos, jnp.sum(neg_keep)
+
+        keys = jax.random.split(self.make_rng('sampling'), b)
+        shape_l, n_pos, n_neg = jax.vmap(shape_single)(
+            flat_shape, batch['gt_boxes'], batch['gt_valid'], keys)
+        shape_avg = jnp.sum(jnp.maximum(n_pos, 1) + jnp.maximum(n_neg, 1))
+
+        # rpn cls/reg on guided anchors (sampled binary, like plain RPN)
+        guided = self._guided(squares, shape_preds, b)
+        losses = rpn_loss(
+            cls_scores, bbox_preds, guided,
+            jnp.broadcast_to(square_valid[None], (b, na)),
+            batch['gt_boxes'], batch['gt_valid'],
+            self.make_rng('sampling'),
+            MaxIoUAssigner(pos_iou_thr=self.rpn_pos_iou_thr,
+                           neg_iou_thr=self.rpn_neg_iou_thr,
+                           min_pos_iou=self.rpn_min_pos_iou,
+                           match_low_quality=True),
+            RandomSampler(num=self.rpn_num_samples,
+                          pos_fraction=self.rpn_pos_fraction,
+                          add_gt_as_proposals=False),
+            (0., 0., 0., 0.), self.target_stds,
+            smoothl1_beta=self.rpn_beta)
+        losses['loss_anchor_loc'] = loc_loss
+        losses['loss_anchor_shape'] = jnp.sum(shape_l) / jnp.maximum(
+            jnp.float32(shape_avg), 1.0)
+
+        mlvl_guided = self._split_levels(guided, sizes, b)
+        proposals = rpn_get_proposals(
+            self._masked_cls([jax.lax.stop_gradient(c) for c in cls_scores],
+                             loc_preds, b),
+            [jax.lax.stop_gradient(p) for p in bbox_preds],
+            mlvl_guided, batch['img_shape'],
+            nms_pre=self.rpn_nms_pre_train, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr, target_stds=self.target_stds)
+        losses.update(self.roi_head.forward_train(
+            feats, proposals.boxes, proposals.valid, batch, train=True))
+        return losses
+
+    def _split_levels(self, guided, sizes, b):
+        out = []
+        start = 0
+        for (h, w) in sizes:
+            out.append(guided[:, start:start + h * w])
+            start += h * w
+        return out
+
+    def simple_test(self, batch, rescale: bool = True):
+        from .rpn_head import rpn_get_proposals
+        feats = self.extract_feat(batch['image'], train=False)
+        cls_scores, bbox_preds, shape_preds, loc_preds = self.rpn_head(
+            feats, train=False)
+        sizes = [tuple(f.shape[1:3]) for f in feats]
+        b = cls_scores[0].shape[0]
+        _, square_gen = self._generators()
+        squares = jnp.concatenate(square_gen.grid_anchors(sizes), 0)
+        guided = self._guided(squares, shape_preds, b)
+        proposals = rpn_get_proposals(
+            self._masked_cls(cls_scores, loc_preds, b), bbox_preds,
+            self._split_levels(guided, sizes, b), batch['img_shape'],
+            nms_pre=self.rpn_nms_pre_test, max_num=self.rpn_max_num,
+            nms_thr=self.rpn_nms_thr, target_stds=self.target_stds)
+        return self.roi_head.simple_test(
+            feats, proposals.boxes, proposals.valid, batch, rescale=rescale)

@@ -87,7 +87,8 @@ def rpn_loss(cls_scores: List[jnp.ndarray],
              target_means=(0., 0., 0., 0.),
              target_stds=(1., 1., 1., 1.),
              loss_cls_weight: float = 1.0,
-             loss_bbox_weight: float = 1.0):
+             loss_bbox_weight: float = 1.0,
+             smoothl1_beta=None):
     """RPN losses with the reference's normalization: per-element losses over
     sampled anchors, divided by the batch-total sampled count
     (anchor_head.py:loss:430-498 with sampling=True).
@@ -101,8 +102,11 @@ def rpn_loss(cls_scores: List[jnp.ndarray],
     if anchor_valid.ndim == 1:
         anchor_valid = jnp.broadcast_to(anchor_valid[None],
                                         (b, anchor_valid.shape[0]))
+    # anchors may be per-image (B, A, 4) — guided anchors (GA-RPN)
+    if anchors.ndim == 2:
+        anchors = jnp.broadcast_to(anchors[None], (b,) + anchors.shape)
 
-    def single(cls_s, reg_s, gts, gtv, av, key):
+    def single(anchors, cls_s, reg_s, gts, gtv, av, key):
         assign = assigner(anchors, av, gts, gtv, None)
         sample = sampler(key, assign, anchors, gts)
         # scatter sampled slots back onto the dense anchor axis
@@ -122,13 +126,18 @@ def rpn_loss(cls_scores: List[jnp.ndarray],
             deltas * (sample.is_pos & sample.valid)[:, None])
 
         cls_l = binary_cross_entropy_with_logits(cls_s, cls_target) * w
-        reg_l = jnp.abs(reg_s - tgt) * pos_w[:, None]
+        if smoothl1_beta is not None:       # GA-RPN: SmoothL1Loss(beta)
+            from .losses import smooth_l1_elementwise
+            reg_l = smooth_l1_elementwise(reg_s, tgt,
+                                          smoothl1_beta) * pos_w[:, None]
+        else:                               # stock RPN: L1Loss
+            reg_l = jnp.abs(reg_s - tgt) * pos_w[:, None]
         num_sampled = jnp.sum(w)
         return jnp.sum(cls_l), jnp.sum(reg_l), num_sampled
 
     keys = jax.random.split(rng, b)
     cls_sums, reg_sums, counts = jax.vmap(single)(
-        flat_cls, flat_reg, gt_boxes, gt_valid, anchor_valid, keys)
+        anchors, flat_cls, flat_reg, gt_boxes, gt_valid, anchor_valid, keys)
     avg = jnp.maximum(jnp.sum(counts), 1.0)
     return {
         'loss_rpn_cls': loss_cls_weight * jnp.sum(cls_sums) / avg,
@@ -170,7 +179,10 @@ def rpn_get_proposals(cls_scores: List[jnp.ndarray],
         else:
             top_s, top_i = jax.lax.top_k(scores, k)
         top_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
-        top_a = anc[top_i]                                   # (B, k, 4)
+        if anc.ndim == 3:      # per-image (guided) anchors, GA-RPN
+            top_a = jnp.take_along_axis(anc, top_i[..., None], axis=1)
+        else:
+            top_a = anc[top_i]                               # (B, k, 4)
         boxes = delta2bbox(top_a, top_d, target_means, target_stds)
         boxes = jax.vmap(clip_boxes)(boxes, img_shapes)
         lvl_boxes.append(boxes)

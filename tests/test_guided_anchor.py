@@ -109,3 +109,92 @@ class TestGARetinaNet:
             variables, batch)
         assert out['dets'].shape == (2, 20, 5)
         assert np.isfinite(np.asarray(out['dets'])).all()
+
+
+def ga_faster_toy_cfg():
+    model = dict(
+        type='FasterRCNN',
+        backbone=dict(type='ResNet', depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=64, num_outs=5),
+        rpn_head=dict(
+            type='GARPNHead', in_channels=64, feat_channels=64,
+            deform_groups=4,
+            approx_anchor_generator=dict(
+                type='AnchorGenerator', octave_base_scale=8,
+                scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                strides=[4, 8, 16, 32, 64]),
+            square_anchor_generator=dict(
+                type='AnchorGenerator', ratios=[1.0], scales=[8],
+                strides=[4, 8, 16, 32, 64]),
+            anchor_coder=dict(type='DeltaXYWHBBoxCoder',
+                              target_stds=[0.07, 0.07, 0.14, 0.14]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_stds=[0.07, 0.07, 0.11, 0.11]),
+            loss_shape=dict(type='BoundedIoULoss', beta=0.2),
+            loss_bbox=dict(type='SmoothL1Loss', beta=1.0)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', output_size=7,
+                               sampling_ratio=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(type='Shared2FCBBoxHead', in_channels=64,
+                           fc_out_channels=64, roi_feat_size=7,
+                           num_classes=8)))
+    train_cfg = dict(
+        rpn=dict(
+            ga_assigner=dict(type='ApproxMaxIoUAssigner', pos_iou_thr=0.7,
+                             neg_iou_thr=0.3, min_pos_iou=0.3),
+            ga_sampler=dict(type='RandomSampler', num=64, pos_fraction=0.5),
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3),
+            sampler=dict(type='RandomSampler', num=64, pos_fraction=0.5),
+            center_ratio=0.2, ignore_ratio=0.5),
+        rpn_proposal=dict(nms_pre=100, max_num=32, nms_thr=0.7),
+        rcnn=dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.6,
+                                neg_iou_thr=0.6, min_pos_iou=0.6),
+                  sampler=dict(type='RandomSampler', num=16,
+                               pos_fraction=0.25),
+                  pos_weight=-1))
+    test_cfg = dict(
+        rpn=dict(nms_pre=100, max_num=32, nms_thr=0.7),
+        rcnn=dict(score_thr=0.05, nms=dict(type='nms', iou_threshold=0.5),
+                  max_per_img=10))
+    return model, train_cfg, test_cfg
+
+
+class TestGAFasterRCNN:
+    @pytest.fixture(scope='class')
+    def built(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_models import demo_batch
+        model, train_cfg, test_cfg = ga_faster_toy_cfg()
+        det = build_detector(model, train_cfg, test_cfg)
+        batch = demo_batch(0, b=1, h=64, w=64, g=3, s=16)
+        variables = jax.jit(det.init)({'params': jax.random.PRNGKey(0)},
+                                      batch)
+        return det, variables, batch
+
+    def test_forward_train(self, built):
+        det, variables, batch = built
+        losses, _ = jax.jit(
+            lambda v, b: det.apply(v, b, method='forward_train',
+                                   mutable=['batch_stats'],
+                                   rngs={'sampling': jax.random.PRNGKey(1)}))(
+            variables, batch)
+        total, log = parse_losses(losses)
+        for k in ('loss_rpn_cls', 'loss_rpn_bbox', 'loss_anchor_shape',
+                  'loss_anchor_loc'):
+            assert k in log
+        assert np.isfinite(float(total))
+
+    def test_simple_test(self, built):
+        det, variables, batch = built
+        out = jax.jit(lambda v, b: det.apply(v, b, method='simple_test'))(
+            variables, batch)
+        assert np.isfinite(np.asarray(out['dets'])).all()
