@@ -447,3 +447,23 @@ class BoundedIoULoss:
     def __call__(self, pred, target, weight=None, avg_factor=None):
         return self.loss_weight * bounded_iou_loss(
             pred, target, self.beta, self.eps, weight, avg_factor)
+
+
+@LOSSES.register_module()
+class AssociativeEmbeddingLoss:
+    """Corner-pairing pull/push loss (reference losses/ae_loss.py:72-100);
+    the dense per-image computation lives in
+    :func:`dynamask_tpu.models.cornernet.ae_loss_single`."""
+
+    def __init__(self, pull_weight=0.25, push_weight=0.25):
+        self.pull_weight = pull_weight
+        self.push_weight = push_weight
+
+    def __call__(self, tl_emb, br_emb, tl_yx, br_yx, gt_valid):
+        from .cornernet import ae_loss_single
+        import jax
+        pl, ps = jax.vmap(
+            lambda te, be, ty, by, gv: ae_loss_single(
+                te, be, ty, by, gv, self.pull_weight, self.push_weight))(
+            tl_emb, br_emb, tl_yx, br_yx, gt_valid)
+        return pl.sum(), ps.sum()
