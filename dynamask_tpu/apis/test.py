@@ -200,3 +200,16 @@ def multi_device_test(det, variables, dataset, samples_per_device: int = 1,
     if progress:
         print()
     return results
+
+
+def run_eval(cfg, checkpoint=None, metrics=('bbox',), max_images=None):
+    """Build + evaluate in one call (used by tools/test_robustness.py; the
+    reference equivalent is the single_gpu_test path of tools/test.py)."""
+    from .inference import init_detector
+    from ..data import build_dataset
+    model = init_detector(cfg, checkpoint)
+    dataset = build_dataset(dict(cfg.data['test']),
+                            default_args=dict(test_mode=True))
+    results = single_device_test(model.det, model.variables, dataset,
+                                 max_images=max_images)
+    return dataset.evaluate(results, metric=list(metrics))
