@@ -61,14 +61,18 @@ class DCNPack(nn.Module):
                              (k, k, x.shape[-1], self.out_channels))
         # remat + roi chunking only under training, where the sampling
         # temporaries of 512 RoIs × 56² dominate HBM; inference (100 RoIs,
-        # no backward) runs unchunked
+        # no backward) runs unchunked. DCN_TRAIN_NO_REMAT / DCN_TRAIN_NO_CHUNK
+        # are measurement knobs for the memory/recompute tradeoff.
         import functools
+        import os
+        no_remat = os.environ.get('DCN_TRAIN_NO_REMAT', '0') == '1'
+        no_chunk = os.environ.get('DCN_TRAIN_NO_CHUNK', '0') == '1'
         dcn = functools.partial(
             deform_conv2d, kernel_size=k, padding=(k - 1) // 2,
             deform_groups=self.deform_groups,
-            roi_chunk=64 if train else 0,
+            roi_chunk=0 if (not train or no_chunk) else 64,
             window=self.window)
-        if train:
+        if train and not no_remat:
             dcn = jax.checkpoint(dcn)
         return dcn(x, offsets, weights)
 

@@ -177,40 +177,6 @@ def deform_conv2d_windowed(x: jnp.ndarray,
     return out.astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _windowed_fast(x, offsets, weights, kernel_size, padding, dilation,
-                   deform_groups, window):
-    """TPU dispatch of the windowed DCN: row-matmul Pallas kernel for the
-    forward (bilinear x-interp as per-row MXU matmuls — measured on v5e
-    vs the XLA windowed path: 5.1->2.6 ms at the 14^2 SFM stage,
-    10.9->1.8 ms at 28^2, 12.1->2.1 ms at 56^2, whole-program device
-    spans), with gradients taken through the XLA windowed path — both
-    implement the identical bounded-window DCNv1 semantics (reference
-    mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu)."""
-    from .deform_conv_pallas import deform_conv2d_rowmm
-    return deform_conv2d_rowmm(x, offsets, weights, kernel_size, padding,
-                               dilation, deform_groups, window)
-
-
-def _windowed_fast_fwd(x, offsets, weights, kernel_size, padding, dilation,
-                       deform_groups, window):
-    out = _windowed_fast(x, offsets, weights, kernel_size, padding, dilation,
-                         deform_groups, window)
-    return out, (x, offsets, weights)
-
-
-def _windowed_fast_bwd(kernel_size, padding, dilation, deform_groups, window,
-                       res, ct):
-    x, offsets, weights = res
-    _, vjp = jax.vjp(
-        lambda xx, oo, ww: deform_conv2d_windowed(
-            xx, oo, ww, kernel_size, 1, padding, dilation, deform_groups,
-            window), x, offsets, weights)
-    return vjp(ct)
-
-
-_windowed_fast.defvjp(_windowed_fast_fwd, _windowed_fast_bwd)
-
 
 @partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
                                    'dilation', 'deform_groups', 'roi_chunk',
@@ -245,25 +211,30 @@ def deform_conv2d(x: jnp.ndarray,
     g = deform_groups
 
     if window is not None:
-        if (h == w and stride == 1
-                and jax.default_backend() == 'tpu'):
-            # lane-packed Pallas kernel (forward; grads via the XLA
-            # windowed path, same bounded-window semantics)
-            return _windowed_fast(x, offsets, weights, kernel_size, padding,
-                                  dilation, deform_groups, window)
-        # gather-free fast path (see deform_conv2d_windowed); roi chunking
-        # bounds the window accumulator's footprint the same way
+        on_tpu = (h == w and stride == 1
+                  and jax.default_backend() == 'tpu')
+        # roi chunking bounds the per-chunk activation footprint for BOTH
+        # backends (the rowmm backward materializes per-RoI row/gradient
+        # tensors that scale with n·S²)
         if roi_chunk and n > roi_chunk and h * w >= 28 * 28:
             pad_n = (-n) % roi_chunk
             xw = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
             ow = jnp.pad(offsets, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
             out = jax.lax.map(
-                lambda args: deform_conv2d_windowed(
+                lambda args: deform_conv2d(
                     args[0], args[1], weights, kernel_size, stride, padding,
-                    dilation, deform_groups, window),
+                    dilation, deform_groups, roi_chunk=0, window=window),
                 (xw.reshape(-1, roi_chunk, h, w, c),
                  ow.reshape(-1, roi_chunk, *offsets.shape[1:])))
             return out.reshape(-1, *out.shape[2:])[:n]
+        if on_tpu:
+            # row-matmul Pallas kernels for BOTH forward and backward
+            # (analytic vjp in the same matrix form; see
+            # deform_conv_pallas.py) — same bounded-window semantics
+            from .deform_conv_pallas import deform_conv2d_rowmm_ad
+            return deform_conv2d_rowmm_ad(x, offsets, weights, kernel_size,
+                                          padding, dilation, deform_groups,
+                                          window)
         return deform_conv2d_windowed(x, offsets, weights, kernel_size,
                                       stride, padding, dilation,
                                       deform_groups, window)

@@ -343,7 +343,7 @@ def _dcn_rowmm_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     'kernel_size', 'padding', 'dilation', 'deform_groups', 'window',
-    'interpret'))
+    'interpret', 'return_sampled'))
 def deform_conv2d_rowmm(x: jnp.ndarray,
                         offsets: jnp.ndarray,
                         weights: jnp.ndarray,
@@ -352,7 +352,8 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
                         dilation: int = 1,
                         deform_groups: int = 1,
                         window: int = 3,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        return_sampled: bool = False) -> jnp.ndarray:
     """Row-matmul windowed DCN (stride 1, square planes). Semantics match
     :func:`dynamask_tpu.ops.deform_conv.deform_conv2d_windowed` exactly
     (bounded-deformation DCNv1, reference CUDA op
@@ -422,9 +423,225 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
         interpret=interpret,
     )(r_rows, rel_y, rel_x)
 
+    if return_sampled:
+        return samp                      # (n, g, S, cg, taps*S), pre-GEMM
     # ---- (tap, channel) -> c_out GEMM (im2col contraction, on the MXU) ----
     samp = samp.reshape(n, g, S, cg, taps, S)
     w_tap = weights.reshape(taps, g, cg, c_out).astype(x.dtype)
     out = jnp.einsum('ngyctx,tgcd->nyxd', samp, w_tap,
                      preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Row-matmul backward: the vjp of the windowed DCN in the same matrix form.
+#
+# The XLA windowed vjp re-runs the 9-tap x 64-cell shifted-FMA scan forward
+# and backward (~1.5 s of a 3.4 s DynaMask train step). Here every piece is
+# a per-row matmul against the same tent matrices:
+#   d_L  = d_G @ Mx^T          (input-rows gradient, MXU)
+#   d_Mx = L^T @ d_G           (-> offset-x gradient via d/dz tent, VPU)
+#   d_wy = sum_c G ⊙ d_samp    (-> offset-y gradient via d/dz tent, VPU)
+# with d_G[u·cg+c] = d_samp[c] ⊙ wy_u, G recomputed by one forward matmul.
+# The weight gradient and the d_samp seed are plain XLA einsums outside.
+# ---------------------------------------------------------------------------
+
+
+def _dcn_rowmm_bwd_kernel(r_ref, rely_ref, relx_ref, dsamp_ref,
+                          dl_ref, dry_ref, drx_ref, *,
+                          S: int, Wp: int, cg: int, D: int, taps: int,
+                          y_blk: int):
+    NT = taps * S
+    dt = r_ref.dtype
+    col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
+          - col_x - (D + 1)).astype(jnp.float32)
+    for y in range(y_blk):
+        rx = relx_ref[0, 0, y][None, :]                 # (1, NT) f32
+        ry = rely_ref[0, 0, y][None, :]
+        zx = rx - vv                                    # (Wp, NT)
+        mx = jnp.maximum(1.0 - jnp.abs(zx), 0.0)
+        lhs = r_ref[0, 0, y].reshape(8 * cg, Wp)
+        dsamp = dsamp_ref[0, 0, y].astype(jnp.float32)  # (cg, NT)
+        # d_G rows (u-major) and the recomputed G for d_wy
+        g_all = jax.lax.dot_general(
+            lhs, mx.astype(dt), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (8cg, NT)
+        dg_rows = []
+        dry = jnp.zeros((1, NT), jnp.float32)
+        for ui, u in enumerate(range(-D, D + 2)):
+            zy = ry - u
+            wy = jnp.maximum(1.0 - jnp.abs(zy), 0.0)
+            dg_u = dsamp * wy                           # (cg, NT)
+            dg_rows.append(dg_u)
+            # d_wy = sum_c G_u * d_samp ; dtent/dz = -sign(z) on |z|<1
+            dwy = jnp.sum(g_all[ui * cg:(ui + 1) * cg] * dsamp,
+                          axis=0, keepdims=True)
+            dry = dry + dwy * jnp.where(jnp.abs(zy) < 1.0,
+                                        -jnp.sign(zy), 0.0)
+        dg = jnp.concatenate(dg_rows, axis=0)           # (8cg, NT)
+        # d_L = d_G @ Mx^T  -> (8cg, Wp)
+        dl = jax.lax.dot_general(
+            dg.astype(dt), mx.astype(dt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dl_ref[0, 0, y] = dl.reshape(8, cg, Wp).astype(dl_ref.dtype)
+        # d_Mx = L^T @ d_G -> (Wp, NT); offset-x grad via dtent
+        dmx = jax.lax.dot_general(
+            lhs, dg.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        drx = jnp.sum(dmx * jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0),
+                      axis=0, keepdims=True)
+        dry_ref[0, 0, y] = dry[0]
+        drx_ref[0, 0, y] = drx[0]
+
+
+def _rowmm_prep(x, offsets, k, padding, dilation, g, D):
+    """Shared forward/backward preparation (encoded rels + u-stacked rows);
+    also returns the pieces the offset-gradient unprep needs."""
+    n, S, _, c = x.shape
+    cg = c // g
+    pad = D + 1
+    taps = k * k
+    NT = taps * S
+    off = offsets.reshape(n, S, S, g, taps, 2).astype(jnp.float32) \
+        .transpose(0, 3, 4, 1, 2, 5)
+    tap_dy = (jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    tap_dx = (jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k)
+              - padding)
+    rel_y0 = tap_dy[None, None, :, None, None] + off[..., 0]
+    rel_x0 = tap_dx[None, None, :, None, None] + off[..., 1]
+    iy = jnp.arange(S, dtype=jnp.float32)[None, None, None, :, None]
+    ix = jnp.arange(S, dtype=jnp.float32)[None, None, None, None, :]
+    ins_y = (iy + rel_y0 > -1.0) & (iy + rel_y0 < S)
+    ins_x = (ix + rel_x0 > -1.0) & (ix + rel_x0 < S)
+    rel_y = jnp.where(ins_y, jnp.clip(rel_y0, -D, D), 1e4)
+    rel_x = jnp.where(ins_x, jnp.clip(rel_x0, -D, D), 1e4)
+    rel_y = rel_y.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
+    rel_x = rel_x.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
+    xg = x.reshape(n, S, S, g, cg)
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+    r_rows = jnp.stack([xp[:, 1 + u: 1 + u + S] for u in range(8)], axis=1)
+    r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)     # (n, g, S, 8, cg, Wp)
+    # gradient masks through where/clip: pass-through only where the
+    # unclipped rel is strictly inside the window AND in-bounds
+    grad_mask_y = ins_y & (jnp.abs(rel_y0) < D)
+    grad_mask_x = ins_x & (jnp.abs(rel_x0) < D)
+    return r_rows, rel_y, rel_x, grad_mask_y, grad_mask_x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def deform_conv2d_rowmm_ad(x, offsets, weights, kernel_size=3, padding=1,
+                           dilation=1, deform_groups=1, window=3,
+                           interpret=False):
+    """Differentiable row-matmul windowed DCN: Pallas forward AND backward
+    (same bounded-window semantics as deform_conv2d_windowed; gradients are
+    the analytic vjp of that formulation, parity-tested against its
+    autodiff)."""
+    return deform_conv2d_rowmm(x, offsets, weights, kernel_size, padding,
+                               dilation, deform_groups, window,
+                               interpret=interpret)
+
+
+def _rowmm_ad_fwd(x, offsets, weights, kernel_size, padding, dilation,
+                  deform_groups, window, interpret):
+    out = deform_conv2d_rowmm(x, offsets, weights, kernel_size, padding,
+                              dilation, deform_groups, window,
+                              interpret=interpret)
+    return out, (x, offsets, weights)
+
+
+def _rowmm_ad_bwd(kernel_size, padding, dilation, deform_groups, window,
+                  interpret, res, ct):
+    x, offsets, weights = res
+    n, S, _, c = x.shape
+    k = kernel_size
+    g = deform_groups
+    cg = c // g
+    c_out = weights.shape[-1]
+    D = window
+    pad = D + 1
+    Wp = S + 2 * pad
+    taps = k * k
+    NT = taps * S
+    y_blk = 8 if S % 8 == 0 else S
+
+    r_rows, rel_y, rel_x, gmask_y, gmask_x = _rowmm_prep(
+        x, offsets, k, padding, dilation, g, D)
+
+    # d_samp seed and (via one forward kernel call) the weight gradient
+    w_tap = weights.reshape(taps, g, cg, c_out).astype(x.dtype)
+    ctf = ct.astype(jnp.float32)
+    dsamp = jnp.einsum('nyxd,tgcd->ngyctx', ct.astype(x.dtype), w_tap,
+                       preferred_element_type=jnp.float32)
+    dsamp = dsamp.reshape(n, g, S, cg, NT).astype(x.dtype)
+    samp = deform_conv2d_rowmm(x, offsets, weights, kernel_size, padding,
+                               dilation, deform_groups, window,
+                               interpret=interpret, return_sampled=True)
+    d_w = jnp.einsum('ngyctx,nyxd->tgcd',
+                     samp.reshape(n, g, S, cg, taps, S).astype(jnp.float32),
+                     ctf).reshape(k, k, c, c_out).astype(weights.dtype)
+
+    kern = functools.partial(_dcn_rowmm_bwd_kernel, S=S, Wp=Wp, cg=cg, D=D,
+                             taps=taps, y_blk=y_blk)
+    d_l, d_ry, d_rx = pl.pallas_call(
+        kern,
+        grid=(n, g, S // y_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, y_blk, 8, cg, Wp),
+                         lambda i, j, b: (i, j, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, cg, NT),
+                         lambda i, j, b: (i, j, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, y_blk, 8, cg, Wp),
+                         lambda i, j, b: (i, j, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            # d_L in the input dtype: halves the dominant backward buffer;
+            # the shift-add re-accumulates in f32 below
+            jax.ShapeDtypeStruct((n, g, S, 8, cg, Wp), x.dtype),
+            jax.ShapeDtypeStruct((n, g, S, NT), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, S, NT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r_rows, rel_y, rel_x, dsamp)
+
+    # ---- un-stack d_L back onto the padded input plane ----
+    # r_rows[n,g,y,u,c,j] = xp[n, y+u+1, j, g, c]
+    d_l = d_l.transpose(0, 2, 3, 5, 1, 4)        # (n, S_y, 8, Wp, g, cg)
+    Hp = S + 2 * pad
+    d_xp = jnp.zeros((n, Hp, Wp, g, cg), jnp.float32)
+    for u in range(8):
+        d_xp = d_xp.at[:, 1 + u: 1 + u + S].add(
+            d_l[:, :, u].astype(jnp.float32))
+    d_x = d_xp[:, pad:pad + S, pad:pad + S].reshape(n, S, S, c) \
+        .astype(x.dtype)
+
+    # ---- un-prep the offset gradients ----
+    def unpack(d_rel, gmask):
+        d5 = d_rel.reshape(n, g, S, taps, S).transpose(0, 1, 3, 2, 4)
+        d5 = jnp.where(gmask, d5, 0.0)
+        return d5                                  # (n, g, T, S, S)
+
+    d_ry5 = unpack(d_ry, gmask_y)
+    d_rx5 = unpack(d_rx, gmask_x)
+    d_off = jnp.stack([d_ry5, d_rx5], -1)          # (n, g, T, S, S, 2)
+    d_off = d_off.transpose(0, 3, 4, 1, 2, 5).reshape(n, S, S,
+                                                      2 * g * taps)
+    return d_x, d_off.astype(offsets.dtype), d_w
+
+
+deform_conv2d_rowmm_ad.defvjp(_rowmm_ad_fwd, _rowmm_ad_bwd)

@@ -348,3 +348,27 @@ class TestPallasWindowedDCN:
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_rowmm_vjp_matches_windowed_autodiff(self):
+        """Analytic matrix-form backward == autodiff of the XLA windowed
+        path, for all three gradients (interpret mode)."""
+        import functools
+        from dynamask_tpu.ops.deform_conv import deform_conv2d_windowed
+        from dynamask_tpu.ops.deform_conv_pallas import deform_conv2d_rowmm_ad
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        n, S, c, co, g = 2, 12, 8, 16, 2
+        x = jax.random.normal(ks[0], (n, S, S, c), jnp.float32)
+        off = jax.random.uniform(ks[1], (n, S, S, g * 18), minval=-4.5,
+                                 maxval=4.5)
+        w = jax.random.normal(ks[2], (3, 3, c, co)) * 0.1
+        ct = jax.random.normal(ks[3], (n, S, S, co))
+        _, ref_vjp = jax.vjp(
+            lambda xx, oo, ww: deform_conv2d_windowed(
+                xx, oo, ww, deform_groups=g, window=3), x, off, w)
+        f = functools.partial(deform_conv2d_rowmm_ad, kernel_size=3,
+                              padding=1, dilation=1, deform_groups=g,
+                              window=3, interpret=True)
+        _, got_vjp = jax.vjp(f, x, off, w)
+        for r, got in zip(ref_vjp(ct), got_vjp(ct)):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(got),
+                                       rtol=2e-3, atol=2e-3)
