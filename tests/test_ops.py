@@ -372,3 +372,21 @@ class TestPallasWindowedDCN:
         for r, got in zip(ref_vjp(ct), got_vjp(ct)):
             np.testing.assert_allclose(np.asarray(r), np.asarray(got),
                                        rtol=2e-3, atol=2e-3)
+
+
+class TestSeparableRoIAlign:
+    def test_matches_gather_path(self):
+        from dynamask_tpu.ops.roi_align import roi_align, roi_align_separable
+        key = jax.random.PRNGKey(0)
+        feats = jax.random.normal(key, (1, 25, 42, 16), jnp.float32)
+        rois = jnp.asarray([[0., 0., 80., 60.],      # normal
+                            [-10., -5., 30., 30.],   # out-of-bounds corner
+                            [100., 40., 180., 99.],  # right edge overhang
+                            [5., 5., 5., 5.]])       # degenerate
+        rb = jnp.zeros(4, jnp.int32)
+        for s in (1, 2):
+            ref = roi_align(feats, rois, rb, 56, 0.25, sampling_ratio=s)
+            got = roi_align_separable(feats, rois, 56, 0.25,
+                                      sampling_ratio=s)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=1e-4, atol=1e-5)
