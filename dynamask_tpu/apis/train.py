@@ -165,7 +165,6 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     # needs no loss scale)
     compute_dtype = None
     if cfg.get('bf16') or cfg.get('fp16') is not None:
-        import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
         logger.info('mixed precision: bf16 compute, fp32 master weights')
     if len(devices) > 1:

@@ -653,6 +653,60 @@ def build_ssd(cfg: dict, train_cfg: dict, test_cfg: dict):
         max_per_img=tc.get('max_per_img', 200))
 
 
+def _build_ga_rpn_family(cfg, train_cfg, test_cfg, with_roi: bool):
+    # GA-Faster / GA-RPN: the reference keeps type FasterRCNN / RPN and
+    # swaps the RPN head (configs/guided_anchoring/ga_faster_*.py,
+    # ga_rpn_*.py)
+    from .guided_anchor import GARPNHead, GAFasterRCNN, GARPN
+    hc = _cfg(cfg['rpn_head'])
+    approx_cfg = _cfg(hc.get('approx_anchor_generator'))
+    coder = _cfg(hc.get('anchor_coder'))
+    bcoder = _cfg(hc.get('bbox_coder'))
+    tr = _cfg(train_cfg)
+    rpn_tr = _cfg(tr.get('rpn'))
+    ga_as = _cfg(rpn_tr.get('ga_assigner'))
+    ga_sm = _cfg(rpn_tr.get('ga_sampler'))
+    asg = _cfg(rpn_tr.get('assigner'))
+    smp = _cfg(rpn_tr.get('sampler'))
+    rpn_proposal = _cfg(tr.get('rpn_proposal'))
+    rpn_test = _cfg(_cfg(test_cfg).get('rpn'))
+    det_cls = GAFasterRCNN if with_roi else GARPN
+    return det_cls(
+        backbone=build_backbone(cfg['backbone']),
+        neck=build_neck(cfg['neck']),
+        rpn_head=GARPNHead(
+            feat_channels=hc.get('feat_channels', 256),
+            deform_groups=hc.get('deform_groups', 4)),
+        roi_head=(build_roi_head(cfg['roi_head'], _cfg(train_cfg),
+                                 _cfg(test_cfg)) if with_roi else None),
+        octave_base_scale=approx_cfg.get('octave_base_scale', 8),
+        scales_per_octave=approx_cfg.get('scales_per_octave', 3),
+        anchor_ratios=tuple(approx_cfg.get('ratios', (0.5, 1.0, 2.0))),
+        anchor_strides=tuple(approx_cfg.get('strides',
+                                            (4, 8, 16, 32, 64))),
+        target_stds=tuple(bcoder.get('target_stds',
+                                     (0.07, 0.07, 0.11, 0.11))),
+        ga_pos_iou_thr=ga_as.get('pos_iou_thr', 0.7),
+        ga_neg_iou_thr=ga_as.get('neg_iou_thr', 0.3),
+        ga_min_pos_iou=ga_as.get('min_pos_iou', 0.3),
+        ga_sample_num=ga_sm.get('num', 256),
+        ga_pos_fraction=ga_sm.get('pos_fraction', 0.5),
+        rpn_pos_iou_thr=asg.get('pos_iou_thr', 0.7),
+        rpn_neg_iou_thr=asg.get('neg_iou_thr', 0.3),
+        rpn_min_pos_iou=asg.get('min_pos_iou', 0.3),
+        rpn_num_samples=smp.get('num', 256),
+        rpn_pos_fraction=smp.get('pos_fraction', 0.5),
+        center_ratio=rpn_tr.get('center_ratio', 0.2),
+        ignore_ratio=rpn_tr.get('ignore_ratio', 0.5),
+        shape_beta=_cfg(hc.get('loss_shape')).get('beta', 0.2),
+        rpn_beta=_cfg(hc.get('loss_bbox')).get('beta', 1.0),
+        loc_filter_thr=hc.get('loc_filter_thr', 0.01),
+        rpn_nms_pre_train=rpn_proposal.get('nms_pre', 2000),
+        rpn_nms_pre_test=rpn_test.get('nms_pre', 1000),
+        rpn_max_num=rpn_proposal.get('max_num', 300),
+        rpn_nms_thr=rpn_proposal.get('nms_thr', 0.7))
+
+
 def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None):
     """Build a detector module from a reference-schema config."""
@@ -890,6 +944,9 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             roi_head=build_roi_head(cfg['roi_head'], _cfg(train_cfg),
                                     _cfg(test_cfg)))
     if t == 'RPN':
+        if _cfg(cfg.get('rpn_head')).get('type') == 'GARPNHead':
+            return _build_ga_rpn_family(cfg, train_cfg, test_cfg,
+                                        with_roi=False)
         from .detectors import RPN
         rpn_head, anchor_cfg, rpn_coder, rpn_loss_cls, rpn_loss_bbox = \
             build_rpn_head(cfg['rpn_head'])
@@ -920,55 +977,7 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             rpn_cls_weight=rpn_loss_cls.get('loss_weight', 1.0),
             rpn_bbox_weight=rpn_loss_bbox.get('loss_weight', 1.0))
     if _cfg(cfg.get('rpn_head')).get('type') == 'GARPNHead':
-        # GA-Faster: the reference keeps type=FasterRCNN and swaps the RPN
-        # (configs/guided_anchoring/ga_faster_r50_fpn_1x_coco.py)
-        from .guided_anchor import GARPNHead, GAFasterRCNN
-        hc = _cfg(cfg['rpn_head'])
-        approx_cfg = _cfg(hc.get('approx_anchor_generator'))
-        coder = _cfg(hc.get('anchor_coder'))
-        bcoder = _cfg(hc.get('bbox_coder'))
-        tr = _cfg(train_cfg)
-        rpn_tr = _cfg(tr.get('rpn'))
-        ga_as = _cfg(rpn_tr.get('ga_assigner'))
-        ga_sm = _cfg(rpn_tr.get('ga_sampler'))
-        asg = _cfg(rpn_tr.get('assigner'))
-        smp = _cfg(rpn_tr.get('sampler'))
-        rpn_proposal = _cfg(tr.get('rpn_proposal'))
-        rpn_test = _cfg(_cfg(test_cfg).get('rpn'))
-        return GAFasterRCNN(
-            backbone=build_backbone(cfg['backbone']),
-            neck=build_neck(cfg['neck']),
-            rpn_head=GARPNHead(
-                feat_channels=hc.get('feat_channels', 256),
-                deform_groups=hc.get('deform_groups', 4)),
-            roi_head=build_roi_head(cfg['roi_head'], _cfg(train_cfg),
-                                    _cfg(test_cfg)),
-            octave_base_scale=approx_cfg.get('octave_base_scale', 8),
-            scales_per_octave=approx_cfg.get('scales_per_octave', 3),
-            anchor_ratios=tuple(approx_cfg.get('ratios', (0.5, 1.0, 2.0))),
-            anchor_strides=tuple(approx_cfg.get('strides',
-                                                (4, 8, 16, 32, 64))),
-            target_stds=tuple(bcoder.get('target_stds',
-                                         (0.07, 0.07, 0.11, 0.11))),
-            ga_pos_iou_thr=ga_as.get('pos_iou_thr', 0.7),
-            ga_neg_iou_thr=ga_as.get('neg_iou_thr', 0.3),
-            ga_min_pos_iou=ga_as.get('min_pos_iou', 0.3),
-            ga_sample_num=ga_sm.get('num', 256),
-            ga_pos_fraction=ga_sm.get('pos_fraction', 0.5),
-            rpn_pos_iou_thr=asg.get('pos_iou_thr', 0.7),
-            rpn_neg_iou_thr=asg.get('neg_iou_thr', 0.3),
-            rpn_min_pos_iou=asg.get('min_pos_iou', 0.3),
-            rpn_num_samples=smp.get('num', 256),
-            rpn_pos_fraction=smp.get('pos_fraction', 0.5),
-            center_ratio=rpn_tr.get('center_ratio', 0.2),
-            ignore_ratio=rpn_tr.get('ignore_ratio', 0.5),
-            shape_beta=_cfg(hc.get('loss_shape')).get('beta', 0.2),
-            rpn_beta=_cfg(hc.get('loss_bbox')).get('beta', 1.0),
-            loc_filter_thr=hc.get('loc_filter_thr', 0.01),
-            rpn_nms_pre_train=rpn_proposal.get('nms_pre', 2000),
-            rpn_nms_pre_test=rpn_test.get('nms_pre', 1000),
-            rpn_max_num=rpn_proposal.get('max_num', 300),
-            rpn_nms_thr=rpn_proposal.get('nms_thr', 0.7))
+        return _build_ga_rpn_family(cfg, train_cfg, test_cfg, with_roi=True)
     det_cls = {'MaskRCNN': MaskRCNN, 'FasterRCNN': FasterRCNN,
                'TwoStageDetector': TwoStageDetector,
                'GridRCNN': TwoStageDetector,

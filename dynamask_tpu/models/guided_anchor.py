@@ -483,7 +483,7 @@ class GAFasterRCNN(nn.Module):
     backbone: nn.Module
     neck: nn.Module
     rpn_head: nn.Module
-    roi_head: nn.Module
+    roi_head: Optional[nn.Module] = None   # None = GA-RPN proposal-only
     # approx/square generators (ga_faster config: octave 8x3, ratios 3)
     octave_base_scale: float = 8.0
     scales_per_octave: int = 3
@@ -518,6 +518,8 @@ class GAFasterRCNN(nn.Module):
     def __call__(self, batch, train: bool = False):
         feats = self.extract_feat(batch['image'], train=train)
         cls_scores, *_ = self.rpn_head(feats, train=train)
+        if self.roi_head is None:
+            return cls_scores
         dummy = self.roi_head.init_dummy(feats, train=train)
         return cls_scores, dummy
 
@@ -660,8 +662,9 @@ class GAFasterRCNN(nn.Module):
             mlvl_guided, batch['img_shape'],
             nms_pre=self.rpn_nms_pre_train, max_num=self.rpn_max_num,
             nms_thr=self.rpn_nms_thr, target_stds=self.target_stds)
-        losses.update(self.roi_head.forward_train(
-            feats, proposals.boxes, proposals.valid, batch, train=True))
+        if self.roi_head is not None:
+            losses.update(self.roi_head.forward_train(
+                feats, proposals.boxes, proposals.valid, batch, train=True))
         return losses
 
     def _split_levels(self, guided, sizes, b):
@@ -687,5 +690,22 @@ class GAFasterRCNN(nn.Module):
             self._split_levels(guided, sizes, b), batch['img_shape'],
             nms_pre=self.rpn_nms_pre_test, max_num=self.rpn_max_num,
             nms_thr=self.rpn_nms_thr, target_stds=self.target_stds)
+        if self.roi_head is None:
+            # proposal-only output (reference detectors/rpn.py simple_test)
+            boxes = proposals.boxes
+            if rescale:
+                boxes = boxes / batch['scale_factor'][:, None, :]
+            dets = jnp.concatenate([boxes, proposals.scores[..., None]], -1)
+            return {'dets': dets,
+                    'labels': jnp.zeros(dets.shape[:2], jnp.int32),
+                    'det_valid': proposals.valid}
         return self.roi_head.simple_test(
             feats, proposals.boxes, proposals.valid, batch, rescale=rescale)
+
+
+@DETECTORS.register_module()
+class GARPN(GAFasterRCNN):
+    """Proposal-only guided-anchor RPN (reference
+    configs/guided_anchoring/ga_rpn_r50_fpn_1x_coco.py: detector type RPN
+    with a GARPNHead)."""
+    pass

@@ -198,3 +198,27 @@ class TestGAFasterRCNN:
         out = jax.jit(lambda v, b: det.apply(v, b, method='simple_test'))(
             variables, batch)
         assert np.isfinite(np.asarray(out['dets'])).all()
+
+
+class TestGARPN:
+    def test_proposal_only(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_models import demo_batch
+        model, train_cfg, test_cfg = ga_faster_toy_cfg()
+        model = dict(model, type='RPN')
+        model.pop('roi_head')
+        det = build_detector(model, train_cfg, test_cfg)
+        batch = demo_batch(0, b=1, h=64, w=64, g=3, s=16)
+        variables = jax.jit(det.init)({'params': jax.random.PRNGKey(0)},
+                                      batch)
+        losses, _ = jax.jit(
+            lambda v, b: det.apply(v, b, method='forward_train',
+                                   mutable=['batch_stats'],
+                                   rngs={'sampling': jax.random.PRNGKey(1)}))(
+            variables, batch)
+        assert 'loss_rpn_cls' in losses and 'loss_anchor_shape' in losses
+        out = jax.jit(lambda v, b: det.apply(v, b, method='simple_test'))(
+            variables, batch)
+        assert out['dets'].shape[-1] == 5
+        assert np.isfinite(np.asarray(out['dets'])).all()

@@ -34,10 +34,14 @@ def test_dynamask_overfits_synthetic_coco(tmp_path):
     cfg.model.roi_head.bbox_head['num_classes'] = 2
     cfg.model.roi_head.mask_head['stage_num_classes'] = [2, 2, 2, 1]
     # overfit recipe: higher LR + enough epochs over the 4 images; no decay
-    # inside the run (step at the very end)
+    # inside the run (step at the very end). The backbone trains from
+    # SCRATCH here, so the imagenet-finetune defaults (frozen random stem,
+    # frozen BN statistics) would cripple memorization — unfreeze.
+    cfg.model.backbone['frozen_stages'] = -1
+    cfg.model.backbone['norm_eval'] = False
     cfg.optimizer['lr'] = 0.01
     cfg.lr_config.update(step=[1000], warmup_iters=10)
-    cfg.total_epochs = 30
+    cfg.total_epochs = 60
     # deterministic pipeline: no flip (4 fixed images, memorize them)
     cfg.data['train']['pipeline'] = [
         t for t in cfg.data['train']['pipeline']
