@@ -218,6 +218,25 @@ class SSDAnchorGenerator(AnchorGenerator):
 
 
 @ANCHOR_GENERATORS.register_module()
+class LegacySSDAnchorGenerator(SSDAnchorGenerator):
+    """v1.x-compatible SSD anchors: centers at (stride-1)/2 and the -1
+    width/height convention (reference anchor_generator.py:574-589)."""
+
+    def _single_level_base_anchors(self, base_size, stride):
+        w = h = float(base_size)
+        x_center = 0.5 * (stride[0] - 1)
+        y_center = 0.5 * (stride[1] - 1)
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        ws = (w * self.scales[None, :] * w_ratios[:, None]).reshape(-1)
+        hs = (h * self.scales[None, :] * h_ratios[:, None]).reshape(-1)
+        return np.stack([
+            x_center - 0.5 * (ws - 1), y_center - 0.5 * (hs - 1),
+            x_center + 0.5 * (ws - 1), y_center + 0.5 * (hs - 1),
+        ], axis=-1).astype(np.float32)
+
+
+@ANCHOR_GENERATORS.register_module()
 class PointGenerator:
     """Grid point generator for anchor-free heads (reference: point_generator.py)."""
 

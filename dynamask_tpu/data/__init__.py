@@ -9,6 +9,8 @@ from .formatting import format_sample, collate, canvas_for
 from .coco import CocoDataset, CocoIndex, build_dataset, COCO_CLASSES
 from .lvis import LVISV1Dataset, LVISV05Dataset, LvisEvaluator
 from .cityscapes import CityscapesDataset, CITYSCAPES_CLASSES
+from .voc import XMLDataset, VOCDataset, WIDERFaceDataset, VOC_CLASSES
+from .custom import CustomDataset
 from .dataset_wrappers import (ConcatDataset, RepeatDataset,
                                ClassBalancedDataset)
 from .loader import DataLoader, GroupedBatchSampler, build_dataloader
@@ -23,6 +25,8 @@ __all__ = [
     'CocoDataset', 'CocoIndex', 'build_dataset', 'COCO_CLASSES',
     'LVISV1Dataset', 'LVISV05Dataset', 'LvisEvaluator',
     'CityscapesDataset', 'CITYSCAPES_CLASSES',
+    'XMLDataset', 'VOCDataset', 'WIDERFaceDataset', 'VOC_CLASSES',
+    'CustomDataset',
     'ConcatDataset', 'RepeatDataset', 'ClassBalancedDataset',
     'DataLoader', 'GroupedBatchSampler', 'build_dataloader',
 ]

@@ -720,3 +720,113 @@ class RandomCenterCropPad:
                                            for m in masks]
             return results
         return results
+
+
+# --------------------------------------------------------------------------
+# Formatting compat shims.
+#
+# The reference ends every pipeline with torch-facing formatting transforms
+# (mmdet/datasets/pipelines/formatting.py: DefaultFormatBundle:174,
+# Collect:251, ImageToTensor:66, ToTensor, Transpose, ToDataContainer,
+# WrapFieldsToLists). In this rebuild, the host keeps plain numpy HWC
+# arrays through the pipeline and static-shape formatting happens once in
+# data/formatting.py, so these are structure-preserving no-ops registered
+# under their reference names: stock reference configs that list them load
+# and run verbatim.
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """No-op: tensor packing is handled by formatting.format_sample."""
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    """Records the reference's key selection without dropping anything:
+    static formatting collects a fixed superset of fields downstream."""
+
+    def __init__(self, keys=(), meta_keys=()):
+        self.keys = tuple(keys)
+        self.meta_keys = tuple(meta_keys)
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    def __init__(self, keys=('img',)):
+        self.keys = tuple(keys)
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class ToTensor(ImageToTensor):
+    pass
+
+
+@PIPELINES.register_module()
+class ToDataContainer:
+    def __init__(self, fields=()):
+        self.fields = tuple(fields)
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class Transpose:
+    """Axis transpose for the listed keys (reference formatting.py:84) —
+    applied for real since downstream consumers see the array layout."""
+
+    def __init__(self, keys, order):
+        self.keys = tuple(keys)
+        self.order = tuple(order)
+
+    def __call__(self, results: Dict) -> Dict:
+        for k in self.keys:
+            results[k] = np.ascontiguousarray(
+                np.transpose(results[k], self.order))
+        return results
+
+
+@PIPELINES.register_module()
+class WrapFieldsToLists:
+    """No-op (reference formatting.py wraps every field in a 1-list for
+    inference collate; this runtime batches arrays directly)."""
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class LoadMultiChannelImageFromFiles:
+    """Stack per-channel image files along the channel axis
+    (reference loading.py LoadMultiChannelImageFromFiles)."""
+
+    def __init__(self, to_float32: bool = False, color_type: str = 'unchanged'):
+        self.to_float32 = to_float32
+
+    def __call__(self, results: Dict) -> Dict:
+        import cv2
+        names = results['img_info']['filename']
+        prefix = results.get('img_prefix', '')
+        imgs = []
+        for name in names:
+            path = osp.join(prefix, name)
+            img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if img is None:
+                raise FileNotFoundError(path)
+            imgs.append(img)
+        img = np.stack(imgs, axis=-1)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['filename'] = names
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['ori_shape'] = img.shape
+        return results

@@ -62,9 +62,10 @@ def build_backbone(cfg: dict):
         cfg.pop('style', None)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
         return RegNet(**cfg)
-    if t == 'DetectoRS_ResNet':
+    if t in ('DetectoRS_ResNet', 'DetectoRS_ResNeXt'):
         from .detectors_resnet import DetectoRSResNet
         sac = _cfg(cfg.get('sac'))
+        groups = cfg.get('groups', 32 if t == 'DetectoRS_ResNeXt' else 1)
         return DetectoRSResNet(
             depth=cfg.get('depth', 50),
             num_stages=cfg.get('num_stages', 4),
@@ -74,7 +75,9 @@ def build_backbone(cfg: dict):
             stage_with_sac=tuple(cfg.get('stage_with_sac',
                                          (False, True, True, True))),
             sac_use_deform=sac.get('use_deform', False),
-            rfp_inplanes=cfg.get('rfp_inplanes'))
+            rfp_inplanes=cfg.get('rfp_inplanes'),
+            groups=groups,
+            base_width=cfg.get('base_width', 4))
     if t == 'HourglassNet':
         from .hourglass import HourglassNet
         cfg.pop('norm_cfg', None)
@@ -498,7 +501,7 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
 def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
     from .single_stage import RetinaNet, SingleStageDetector, RetinaHead
     hc_probe = _cfg(cfg['bbox_head'])
-    if hc_probe.get('type') == 'SSDHead':
+    if hc_probe.get('type') in ('SSDHead', 'PISASSDHead'):
         return build_ssd(cfg, _cfg(train_cfg), _cfg(test_cfg))
     backbone = build_backbone(cfg['backbone'])
     neck = build_neck(cfg['neck'])
@@ -579,21 +582,42 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
             score_thr=tc.get('score_thr', 0.05),
             nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),
             max_per_img=tc.get('max_per_img', 100))
-    assert ht == 'RetinaHead', ht
+    assert ht in ('RetinaHead', 'RetinaSepBNHead', 'PISARetinaHead'), ht
     anchor_cfg = _cfg(hc.get('anchor_generator'))
     coder = _cfg(hc.get('bbox_coder'))
     loss_cls = _cfg(hc.get('loss_cls'))
     ratios = tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0)))
     spo = anchor_cfg.get('scales_per_octave', 3)
-    head = RetinaHead(num_classes=hc.get('num_classes', 80),
-                      in_channels=hc.get('in_channels', 256),
-                      feat_channels=hc.get('feat_channels', 256),
-                      stacked_convs=hc.get('stacked_convs', 4),
-                      num_anchors=len(ratios) * spo)
+    if ht == 'RetinaSepBNHead':
+        from .single_stage import RetinaSepBNHead
+        head = RetinaSepBNHead(num_classes=hc.get('num_classes', 80),
+                               num_ins=hc.get('num_ins', 5),
+                               in_channels=hc.get('in_channels', 256),
+                               feat_channels=hc.get('feat_channels', 256),
+                               stacked_convs=hc.get('stacked_convs', 4),
+                               num_anchors=len(ratios) * spo)
+    else:
+        head = RetinaHead(num_classes=hc.get('num_classes', 80),
+                          in_channels=hc.get('in_channels', 256),
+                          feat_channels=hc.get('feat_channels', 256),
+                          stacked_convs=hc.get('stacked_convs', 4),
+                          num_anchors=len(ratios) * spo)
     assigner = _cfg(_cfg(train_cfg).get('assigner'))
     tc = _cfg(test_cfg)
     cls = RetinaNet if t == 'RetinaNet' else SingleStageDetector
+    extra = {}
+    if ht == 'PISARetinaHead':
+        from .pisa import PISARetinaNet
+        cls = PISARetinaNet
+        tr = _cfg(train_cfg)
+        isr = _cfg(tr.get('isr'))
+        carl = _cfg(tr.get('carl'))
+        extra = dict(isr_k=isr.get('k', 2.0), isr_bias=isr.get('bias', 0.0),
+                     carl_k=carl.get('k', 1.0),
+                     carl_bias=carl.get('bias', 0.2),
+                     carl_beta=_cfg(hc.get('loss_bbox')).get('beta', 0.11))
     return cls(
+        **extra,
         backbone=backbone, neck=neck, bbox_head=head,
         num_classes=hc.get('num_classes', 80),
         anchor_octave_base_scale=anchor_cfg.get('octave_base_scale', 4),
@@ -631,7 +655,18 @@ def build_ssd(cfg: dict, train_cfg: dict, test_cfg: dict):
                    num_anchors=num_anchors)
     assigner = _cfg(train_cfg.get('assigner'))
     tc = _cfg(test_cfg)
-    return SSD(
+    extra = {}
+    cls = SSD
+    if hc.get('type') == 'PISASSDHead':
+        from .pisa import PISASSD
+        cls = PISASSD
+        isr = _cfg(train_cfg.get('isr'))
+        carl = _cfg(train_cfg.get('carl'))
+        extra = dict(isr_k=isr.get('k', 2.0), isr_bias=isr.get('bias', 0.0),
+                     carl_k=carl.get('k', 1.0),
+                     carl_bias=carl.get('bias', 0.2))
+    return cls(
+        **extra,
         backbone=backbone, bbox_head=head,
         num_classes=hc.get('num_classes', 80),
         input_size=input_size,

@@ -39,15 +39,19 @@ class SAConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     use_deform: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_deform and self.groups > 1:
+            raise NotImplementedError(
+                'SAC deform path does not support grouped conv')
         k = 3
         cin = x.shape[-1]
         w = self.param('weight', kaiming_normal_fan_out(),
-                       (k, k, cin, self.channels))
+                       (k, k, cin // self.groups, self.channels))
         w_diff = self.param('weight_diff', nn.initializers.zeros,
-                            (k, k, cin, self.channels))
+                            (k, k, cin // self.groups, self.channels))
         # AWS: per-output-channel weight standardization
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         std = jnp.std(w, axis=(0, 1, 2), keepdims=True)
@@ -82,6 +86,7 @@ class SAConv(nn.Module):
             return jax.lax.conv_general_dilated(
                 x, weight, (self.stride,) * 2, [(dil, dil)] * 2,
                 rhs_dilation=(dil, dil),
+                feature_group_count=self.groups,
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
         out_s = branch(ws, self.dilation, 's')
@@ -107,24 +112,34 @@ class SACBottleneck(nn.Module):
     use_deform: bool = False
     rfp: bool = False
     norm_eval: bool = True
+    # ResNeXt variant (reference backbones/detectors_resnext.py:
+    # make_res_layer with groups/base_width)
+    groups: int = 1
+    base_width: int = 4
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x, rfp_feat=None, train: bool = False):
         use_ra = (not train) or self.norm_eval
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = (self.planes * self.base_width // 64) * self.groups
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+        out = nn.Conv(width, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
         out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
                            epsilon=1e-5, name='bn1')(out)
         out = nn.relu(out)
         if self.with_sac:
-            out = SAConv(self.planes, stride=self.stride,
-                         use_deform=self.use_deform, name='sac_conv2')(out)
+            out = SAConv(width, stride=self.stride,
+                         use_deform=self.use_deform, groups=self.groups,
+                         name='sac_conv2')(out)
         else:
-            out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+            out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
                           padding=[(1, 1), (1, 1)], use_bias=False,
+                          feature_group_count=self.groups,
                           kernel_init=kaiming_normal_fan_out(),
                           name='conv2')(out)
         out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
@@ -167,6 +182,8 @@ class DetectoRSResNet(nn.Module):
     stage_with_sac: Tuple[bool, ...] = (False, True, True, True)
     sac_use_deform: bool = False
     rfp_inplanes: Optional[int] = 256
+    groups: int = 1
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x, rfp_feats: Optional[Sequence] = None,
@@ -198,6 +215,8 @@ class DetectoRSResNet(nn.Module):
                     rfp=(stage > 0 and i == 0 and
                          self.rfp_inplanes is not None),
                     norm_eval=self.norm_eval,
+                    groups=self.groups,
+                    base_width=self.base_width,
                     name=f'layer{stage + 1}_block{i}')(
                     x, rfp_feat=rfp_feat if i == 0 else None, train=train)
             if self.frozen_stages >= stage + 1:
@@ -206,3 +225,13 @@ class DetectoRSResNet(nn.Module):
                 outs.append(x)
             planes *= 2
         return outs
+
+
+@BACKBONES.register_module()
+class DetectoRS_ResNeXt(DetectoRSResNet):
+    """DetectoRS on a ResNeXt trunk: grouped 3x3 (or SAC) convs with
+    width = planes * base_width/64 * groups
+    (reference backbones/detectors_resnext.py:98-122)."""
+
+    groups: int = 32
+    base_width: int = 4

@@ -49,7 +49,9 @@ def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
                    detail_fuse_weights: jnp.ndarray,
                    stage_detail_loss_weight: Sequence[float] = (0.5,) * 4,
                    cb_loss_weight: float = 0.8,
-                   start_stage: int = 4) -> Dict[str, jnp.ndarray]:
+                   start_stage: int = 4,
+                   stage_instance_loss_weight: Optional[Sequence[float]] =
+                   None) -> Dict[str, jnp.ndarray]:
     """DynaCrossEntropyLoss (cross_entropy_loss.py:441-487), masked form.
 
     Args:
@@ -59,11 +61,22 @@ def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
         pos_valid: (R,) validity of the positive slots.
         detail_fuse_weights: (2,) trainable fuse kernel of the detail-target
             generator (reference DetailTarget.fuse_kernel).
+        stage_instance_loss_weight: None reproduces the faithful quirk (only
+            the LAST stage's instance BCE is returned; the weighted sum is
+            commented out at cross_entropy_loss.py:483). A weight list
+            enables the commented-out form — every stage's instance BCE,
+            weighted — which the reference config declares
+            (r50-dynamask-1x.py:85) but never uses. Direct supervision of the
+            intermediate per-class stages matters in low-data regimes: with
+            the quirk, those stages learn only through the fused-feature
+            side path, and the test-time boundary fusion then overwrites the
+            (well-trained, class-agnostic) final stage with their output.
     """
     v = pos_valid.astype(jnp.float32)
     nv = jnp.maximum(jnp.sum(v), 1.0)
 
     last_inst_bce = jnp.float32(0.0)
+    inst_losses = []
     detail_losses = []
     for idx in range(len(stage_instance_preds)):
         if idx > start_stage:
@@ -77,6 +90,7 @@ def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
 
         bce = binary_cross_entropy_with_logits(inst_logit, target)
         last_inst_bce = jnp.sum(jnp.mean(bce, axis=(1, 2)) * v) / nv
+        inst_losses.append(last_inst_bce)
 
         # mask_cross_entropy with eps=1e-10 on sigmoid probs, weighted by the
         # routing column, scaled by N/(#routed) (cross_entropy_loss.py:461-462).
@@ -100,7 +114,12 @@ def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
 
     loss_detail = sum(w * l for w, l in zip(stage_detail_loss_weight,
                                             detail_losses))
-    return {'loss_masks': last_inst_bce + loss_detail +
+    if stage_instance_loss_weight is not None:
+        loss_inst = sum(w * l for w, l in zip(stage_instance_loss_weight,
+                                              inst_losses))
+    else:
+        loss_inst = last_inst_bce
+    return {'loss_masks': loss_inst + loss_detail +
             cb_loss_weight * loss_cb}
 
 
@@ -124,6 +143,10 @@ class DynaMaskRoIHead(StandardRoIHead):
 
     stage_sup_size: Tuple[int, ...] = (14, 28, 56, 112)
     stage_detail_loss_weight: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
+    # None = faithful last-stage-only instance BCE (the reference's active
+    # behavior); a tuple enables the all-stage weighted sum its config
+    # declares (see dyna_mask_loss docstring / loss_cfg.all_stage_instance_loss)
+    stage_instance_loss_weight: Optional[Tuple[float, ...]] = None
     cb_loss_weight: float = 0.8
     start_stage: int = 4
     # FLOPs budget (train_cfg.rcnn.flops / Lambda)
@@ -220,7 +243,8 @@ class DynaMaskRoIHead(StandardRoIHead):
                                 mask_labels, pos_valid,
                                 self.detail_fuse_weights,
                                 self.stage_detail_loss_weight,
-                                self.cb_loss_weight, self.start_stage)
+                                self.cb_loss_weight, self.start_stage,
+                                self.stage_instance_loss_weight)
         losses['loss_flops'] = flops_budget_loss(
             mask_labels, pos_valid, self.flops_cost, self.flops_lambda,
             self.flops_target)
@@ -361,6 +385,10 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
         stage_sup_size=tuple(mhc.get('stage_sup_size', (14, 28, 56, 112))),
         stage_detail_loss_weight=tuple(
             loss_cfg.get('stage_detail_loss_weight', (0.5,) * 4)),
+        stage_instance_loss_weight=(
+            tuple(loss_cfg.get('stage_instance_loss_weight',
+                               (0.5, 0.75, 0.75, 1.0)))
+            if loss_cfg.get('all_stage_instance_loss', False) else None),
         cb_loss_weight=loss_cfg.get('cb_loss_weight', 0.8),
         start_stage=loss_cfg.get('start_stage', 4),
         flops_cost=tuple(rcnn_train.get('flops', (0.23, 0.62, 1.01, 1.4))),

@@ -123,6 +123,25 @@ def iou_loss(pred, target, mode: str = 'giou', eps: float = 1e-7,
         e_wh = jnp.clip(e_rb - e_lt, 0)
         enclose = e_wh[..., 0] * e_wh[..., 1] + eps
         loss = 1 - (iou - (enclose - union) / enclose)
+    elif mode in ('diou', 'ciou'):
+        # reference iou_loss.py:118 (diou_loss) / :172 (ciou_loss)
+        e_lt = jnp.minimum(pred[..., :2], target[..., :2])
+        e_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+        e_wh = jnp.clip(e_rb - e_lt, 0)
+        c2 = e_wh[..., 0] ** 2 + e_wh[..., 1] ** 2 + eps
+        pc = (pred[..., :2] + pred[..., 2:]) * 0.5
+        tc = (target[..., :2] + target[..., 2:]) * 0.5
+        rho2 = jnp.sum((pc - tc) ** 2, axis=-1)
+        loss = 1 - iou + rho2 / c2
+        if mode == 'ciou':
+            pw = jnp.clip(pred[..., 2] - pred[..., 0], 0)
+            ph = jnp.clip(pred[..., 3] - pred[..., 1], eps)
+            tw = jnp.clip(target[..., 2] - target[..., 0], 0)
+            th = jnp.clip(target[..., 3] - target[..., 1], eps)
+            v = (4 / jnp.pi ** 2) * \
+                (jnp.arctan(tw / th) - jnp.arctan(pw / ph)) ** 2
+            alpha = jax.lax.stop_gradient(v / jnp.maximum(1 - iou + v, eps))
+            loss = loss + alpha * v
     else:
         raise ValueError(mode)
     return weight_reduce_loss(loss, weight, avg_factor)
@@ -221,6 +240,32 @@ class IoULoss:
 
     def __call__(self, pred, target, weight=None, avg_factor=None):
         return self.loss_weight * iou_loss(pred, target, self.mode, self.eps,
+                                           weight, avg_factor)
+
+
+@LOSSES.register_module()
+class DIoULoss:
+    """Distance-IoU loss (reference losses/iou_loss.py:366)."""
+
+    def __init__(self, eps=1e-7, loss_weight=1.0):
+        self.eps = eps
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * iou_loss(pred, target, 'diou', self.eps,
+                                           weight, avg_factor)
+
+
+@LOSSES.register_module()
+class CIoULoss:
+    """Complete-IoU loss (reference losses/iou_loss.py:404)."""
+
+    def __init__(self, eps=1e-7, loss_weight=1.0):
+        self.eps = eps
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        return self.loss_weight * iou_loss(pred, target, 'ciou', self.eps,
                                            weight, avg_factor)
 
 

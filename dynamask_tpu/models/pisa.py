@@ -472,3 +472,214 @@ class PISARoIHead(StandardRoIHead):
             losses.update(self._mask_forward_train(feats, sample, batch,
                                                    train=train))
         return losses
+
+
+# --------------------------------------------------------------------------
+# PISA single-stage heads (reference dense_heads/pisa_ssd_head.py,
+# pisa_retinanet_head.py)
+# --------------------------------------------------------------------------
+
+def isr_p_dense(cls_flat: jnp.ndarray, reg_flat: jnp.ndarray,
+                labels: jnp.ndarray, label_weights: jnp.ndarray,
+                bbox_targets: jnp.ndarray, rois: jnp.ndarray,
+                group_ids: jnp.ndarray, num_classes: int,
+                target_means, target_stds, k: float = 2.0,
+                bias: float = 0.0, cap: int = 512,
+                pos_loss_fn=None) -> jnp.ndarray:
+    """ISR-P over a dense anchor set.
+
+    The quadratic rank matrices in ``isr_p_label_weights`` would be
+    (num_anchors)² on a flattened SSD/Retina batch (10⁴-10⁵ rows); only
+    positives ever get reweighted, so gather a static ``cap``-sized
+    positives-first subset, reweight there, and scatter the new weights
+    back (identical result while every image has ≤ cap positives).
+    """
+    pos = (labels >= 0) & (labels < num_classes) & (label_weights > 0)
+    m = labels.shape[0]
+    cap = min(cap, m)
+    order = jnp.argsort(jnp.where(pos, 0, 1).astype(jnp.int32), stable=True)
+    idx = order[:cap]
+    sub = BBoxTargets(labels[idx], label_weights[idx], bbox_targets[idx],
+                      label_weights[idx])
+    new_sub = isr_p_label_weights(
+        cls_flat[idx], reg_flat[idx], sub, rois[idx], group_ids[idx],
+        num_classes, target_means, target_stds, pos_loss_fn=pos_loss_fn,
+        k=k, bias=bias)
+    return label_weights.at[idx].set(new_sub)
+
+
+from ..core.assigners import MaxIoUAssigner as _MaxIoUAssigner
+from ..core.bbox_transforms import bbox2delta as _bbox2delta
+from ..utils.registry import DETECTORS as _DETECTORS
+from .ssd import SSD as _SSD, smooth_l1 as _ssd_smooth_l1
+from .single_stage import SingleStageDetector as _SingleStage, \
+    _focal_elementwise
+
+
+@_DETECTORS.register_module()
+class PISASSD(_SSD):
+    """SSD + ISR-P positive reweighting + CARL
+    (reference dense_heads/pisa_ssd_head.py:12-140;
+    configs/pisa/pisa_ssd300_coco.py train_cfg isr/carl)."""
+
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
+
+    def forward_train(self, batch) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(batch['image'], train=True)
+        cls_scores, bbox_preds = self.bbox_head(feats, train=True)
+        gen = self._anchor_generator()
+        sizes = [tuple(f.shape[1:3]) for f in feats]
+        anchors = jnp.concatenate(gen.grid_anchors(sizes), 0)
+        anchor_valid = jax.vmap(
+            lambda sh: jnp.concatenate(gen.valid_flags(sizes, sh), 0))(
+            batch['img_shape'])
+        b = cls_scores[0].shape[0]
+        nc1 = self.num_classes + 1
+        flat_cls = jnp.concatenate(
+            [c.reshape(b, -1, nc1) for c in cls_scores], 1).astype(jnp.float32)
+        flat_reg = jnp.concatenate(
+            [r.reshape(b, -1, 4) for r in bbox_preds], 1).astype(jnp.float32)
+        assigner = _MaxIoUAssigner(pos_iou_thr=self.pos_iou_thr,
+                                   neg_iou_thr=self.neg_iou_thr,
+                                   min_pos_iou=self.min_pos_iou,
+                                   match_low_quality=True)
+
+        def single(cls_s, gts, glabels, gvalid, avalid):
+            assign = assigner(anchors, avalid, gts, gvalid, glabels)
+            pos = assign.gt_inds > 0
+            neg = (assign.gt_inds == 0) & avalid
+            tgt_cls = jnp.where(pos, assign.labels, self.num_classes)
+            # hard-negative mining on the UNWEIGHTED CE, as in SSDHead
+            logp = jax.nn.log_softmax(cls_s, -1)
+            ce = -jnp.take_along_axis(logp, tgt_cls[:, None], -1)[:, 0]
+            num_pos = jnp.sum(pos)
+            neg_ce = jnp.where(neg, ce, -jnp.inf)
+            order = jnp.argsort(-neg_ce)
+            rank = jnp.argsort(order)
+            keep_neg = neg & (rank < self.neg_pos_ratio * num_pos)
+            gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
+            tgt = _bbox2delta(anchors, gts[gt_idx], self.target_means,
+                              self.target_stds)
+            return tgt_cls, pos, keep_neg, gt_idx, tgt, num_pos
+
+        tgt_cls, pos, keep_neg, gt_idx, tgt, num_pos = jax.vmap(single)(
+            flat_cls, batch['gt_boxes'], batch['gt_labels'],
+            batch['gt_valid'], anchor_valid)
+
+        n = anchors.shape[0]
+        m = b * n
+        labels = tgt_cls.reshape(m)
+        lw = (pos | keep_neg).reshape(m).astype(jnp.float32)
+        cls2 = flat_cls.reshape(m, nc1)
+        reg2 = flat_reg.reshape(m, 4)
+        tgt2 = tgt.reshape(m, 4)
+        rois = jnp.tile(anchors, (b, 1))
+        gmax = batch['gt_boxes'].shape[1]
+        group_ids = (jnp.repeat(jnp.arange(b, dtype=jnp.int32), n) * gmax
+                     + gt_idx.reshape(m))
+
+        lw = isr_p_dense(cls2, reg2, labels, lw, tgt2, rois, group_ids,
+                         self.num_classes, self.target_means,
+                         self.target_stds, k=self.isr_k, bias=self.isr_bias)
+
+        total_pos = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.0)
+        logp = jax.nn.log_softmax(cls2, -1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
+        loss_cls = jnp.sum(ce * lw) / total_pos
+        reg_l = jnp.sum(_ssd_smooth_l1(reg2 - tgt2, self.smoothl1_beta) *
+                        pos.reshape(m)[:, None].astype(jnp.float32))
+        loss_carl = carl_loss(cls2, labels, reg2, tgt2, pos.reshape(m),
+                              self.num_classes, k=self.carl_k,
+                              bias=self.carl_bias, beta=1.0,
+                              avg_factor=total_pos, sigmoid=False)
+        return {'loss_cls': loss_cls, 'loss_bbox': reg_l / total_pos,
+                'loss_carl': loss_carl}
+
+
+@_DETECTORS.register_module()
+class PISARetinaNet(_SingleStage):
+    """RetinaNet + ISR-P + CARL
+    (reference dense_heads/pisa_retinanet_head.py:11-150;
+    configs/pisa/pisa_retinanet_r50_fpn_1x_coco.py)."""
+
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
+    carl_beta: float = 0.11
+
+    def forward_train(self, batch) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(batch['image'], train=True)
+        cls_scores, bbox_preds = self.bbox_head(feats, train=True)
+        gen = self._anchor_generator()
+        sizes = [tuple(f.shape[1:3]) for f in feats]
+        anchors = jnp.concatenate(gen.grid_anchors(sizes), 0)
+        anchor_valid = jax.vmap(
+            lambda sh: jnp.concatenate(gen.valid_flags(sizes, sh), 0))(
+            batch['img_shape'])
+        b = cls_scores[0].shape[0]
+        nc = self.num_classes
+        flat_cls = jnp.concatenate(
+            [c.reshape(b, -1, nc) for c in cls_scores], 1).astype(jnp.float32)
+        flat_reg = jnp.concatenate(
+            [r.reshape(b, -1, 4) for r in bbox_preds], 1).astype(jnp.float32)
+        assigner = _MaxIoUAssigner(pos_iou_thr=self.pos_iou_thr,
+                                   neg_iou_thr=self.neg_iou_thr,
+                                   min_pos_iou=self.min_pos_iou,
+                                   match_low_quality=True)
+
+        def single(gts, glabels, gvalid, avalid):
+            assign = assigner(anchors, avalid, gts, gvalid, glabels)
+            pos = assign.gt_inds > 0
+            neg = (assign.gt_inds == 0) & avalid
+            tgt_cls = jnp.where(pos, assign.labels, nc)
+            gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
+            tgt = _bbox2delta(anchors, gts[gt_idx], self.target_means,
+                              self.target_stds)
+            return tgt_cls, pos, pos | neg, gt_idx, tgt, jnp.sum(pos)
+
+        tgt_cls, pos, include, gt_idx, tgt, num_pos = jax.vmap(single)(
+            batch['gt_boxes'], batch['gt_labels'], batch['gt_valid'],
+            anchor_valid)
+
+        n = anchors.shape[0]
+        m = b * n
+        labels = tgt_cls.reshape(m)
+        lw = include.reshape(m).astype(jnp.float32)
+        cls2 = flat_cls.reshape(m, nc)
+        reg2 = flat_reg.reshape(m, 4)
+        tgt2 = tgt.reshape(m, 4)
+        rois = jnp.tile(anchors, (b, 1))
+        gmax = batch['gt_boxes'].shape[1]
+        group_ids = (jnp.repeat(jnp.arange(b, dtype=jnp.int32), n) * gmax
+                     + gt_idx.reshape(m))
+
+        gamma, alpha = self.focal_gamma, self.focal_alpha
+
+        def focal_rowloss(cls_s, lbl):
+            onehot = jax.nn.one_hot(lbl, nc + 1)[:, :nc]
+            return jnp.sum(_focal_elementwise(cls_s, onehot, gamma, alpha),
+                           axis=-1)
+
+        lw = isr_p_dense(cls2, reg2, labels, lw, tgt2, rois, group_ids, nc,
+                         self.target_means, self.target_stds,
+                         k=self.isr_k, bias=self.isr_bias,
+                         pos_loss_fn=focal_rowloss)
+
+        total_pos = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.0)
+        onehot = jax.nn.one_hot(labels, nc + 1)[:, :nc]
+        loss_cls = jnp.sum(
+            _focal_elementwise(cls2, onehot, gamma, alpha) *
+            lw[:, None]) / total_pos
+        posm = pos.reshape(m)
+        reg_l = jnp.sum(jnp.abs(reg2 - tgt2) *
+                        posm[:, None].astype(jnp.float32)) / total_pos
+        loss_carl = carl_loss(cls2, labels, reg2, tgt2, posm, nc,
+                              k=self.carl_k, bias=self.carl_bias,
+                              beta=self.carl_beta, avg_factor=total_pos,
+                              sigmoid=True)
+        return {'loss_cls': loss_cls, 'loss_bbox': reg_l,
+                'loss_carl': loss_carl}

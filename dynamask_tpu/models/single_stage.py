@@ -70,6 +70,62 @@ class RetinaHead(nn.Module):
         return cls_scores, bbox_preds
 
 
+class RetinaSepBNHead(nn.Module):
+    """RetinaHead with conv weights shared across levels but per-level
+    BatchNorm (reference dense_heads/retina_sepbn_head.py:9-113; the
+    NAS-FPN partner head)."""
+
+    num_classes: int = 80
+    num_ins: int = 5
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], use_bias=False,
+                             kernel_init=normal_init(0.01),
+                             name=f'cls_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], use_bias=False,
+                             kernel_init=normal_init(0.01),
+                             name=f'reg_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        cls_bns = [[nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name=f'cls_bn_{lvl}_{i}')
+                    for i in range(self.stacked_convs)]
+                   for lvl in range(self.num_ins)]
+        reg_bns = [[nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name=f'reg_bn_{lvl}_{i}')
+                    for i in range(self.stacked_convs)]
+                   for lvl in range(self.num_ins)]
+        retina_cls = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             bias_init=nn.initializers.constant(-4.59512),
+                             name='retina_cls')
+        retina_reg = nn.Conv(self.num_anchors * 4, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=normal_init(0.01),
+                             name='retina_reg')
+        cls_scores, bbox_preds = [], []
+        for lvl, x in enumerate(feats):
+            c = x
+            for conv, bn in zip(cls_convs, cls_bns[lvl]):
+                c = nn.relu(bn(conv(c)))
+            r = x
+            for conv, bn in zip(reg_convs, reg_bns[lvl]):
+                r = nn.relu(bn(conv(r)))
+            cls_scores.append(retina_cls(c))
+            bbox_preds.append(retina_reg(r))
+        return cls_scores, bbox_preds
+
+
 def anchor_head_loss(cls_scores: List[jnp.ndarray],
                      bbox_preds: List[jnp.ndarray],
                      anchors: jnp.ndarray,

@@ -39,9 +39,16 @@ def test_dynamask_overfits_synthetic_coco(tmp_path):
     # frozen BN statistics) would cripple memorization — unfreeze.
     cfg.model.backbone['frozen_stages'] = -1
     cfg.model.backbone['norm_eval'] = False
+    # directly supervise every cascade stage's instance logits: with the
+    # faithful last-stage-only quirk, the intermediate per-class stages only
+    # learn through the fused-feature side path — far too weak a signal for a
+    # 4-image set — and the test-time boundary fusion then overwrites the
+    # well-trained class-agnostic final stage with their garbage (measured:
+    # person/class-0 masks stayed at init while class 1 absorbed the signal).
+    cfg.model.roi_head.mask_head['loss_cfg']['all_stage_instance_loss'] = True
     cfg.optimizer['lr'] = 0.01
     cfg.lr_config.update(step=[1000], warmup_iters=10)
-    cfg.total_epochs = 60
+    cfg.total_epochs = 80
     # deterministic pipeline: no flip (4 fixed images, memorize them)
     cfg.data['train']['pipeline'] = [
         t for t in cfg.data['train']['pipeline']
