@@ -17,7 +17,7 @@ Offset channel layout matches mmcv: ``(deform_group, kh, kw, [dy, dx])``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,17 +79,15 @@ def _bilinear_sample_nhwc(x: jnp.ndarray, ys: jnp.ndarray,
     return out * inside[..., None].astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
-                                   'dilation', 'deform_groups', 'window'))
-def deform_conv2d_windowed(x: jnp.ndarray,
-                           offsets: jnp.ndarray,
-                           weights: jnp.ndarray,
-                           kernel_size: int = 3,
-                           stride: int = 1,
-                           padding: int = 1,
-                           dilation: int = 1,
-                           deform_groups: int = 1,
-                           window: int = 4) -> jnp.ndarray:
+def _deform_conv2d_windowed_ref(x: jnp.ndarray,
+                                offsets: jnp.ndarray,
+                                weights: jnp.ndarray,
+                                kernel_size: int = 3,
+                                stride: int = 1,
+                                padding: int = 1,
+                                dilation: int = 1,
+                                deform_groups: int = 1,
+                                window: int = 4) -> jnp.ndarray:
     """Gather-free DCN: dense windowed accumulation (the TPU fast path).
 
     Instead of gathering each tap's bilinear corners (TPU gathers cost
@@ -177,6 +175,193 @@ def deform_conv2d_windowed(x: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+# --------------------------------------------------------------------------
+# Analytic VJP for the windowed formulation.
+#
+# XLA's transpose of the (2D+2)^2 shift-weighted accumulation lowers to
+# per-tap kLoop gather/select fusions that run ~50x slower than the forward
+# on CPU (measured 2.7 s backward vs 48 ms forward at the SFM fuse-conv
+# shape) and also cost more than needed on TPU wherever the rowmm Pallas
+# path doesn't apply (h != w). The backward below re-uses the SAME dense
+# shift-window structure as the forward — d_x is one pad-add sweep, d_W one
+# einsum per tap, d_offset two sweeps with tent-derivative weights — so its
+# cost is ~3 forward passes. Semantics are identical to autodiff of the
+# reference formulation (grad-parity-tested; the clip on rel passes gradient
+# only strictly inside (-D, D), the inside/outside masks are constants).
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _windowed_cvjp(x, offsets, weights, kernel_size, stride, padding,
+                   dilation, deform_groups, window):
+    return _deform_conv2d_windowed_ref(
+        x, offsets, weights, kernel_size, stride, padding, dilation,
+        deform_groups, window)
+
+
+def _windowed_cvjp_fwd(x, offsets, weights, kernel_size, stride, padding,
+                       dilation, deform_groups, window):
+    out = _deform_conv2d_windowed_ref(
+        x, offsets, weights, kernel_size, stride, padding, dilation,
+        deform_groups, window)
+    return out, (x, offsets, weights)
+
+
+def _windowed_cvjp_bwd(kernel_size, stride, padding, dilation, deform_groups,
+                       window, res, d_out):
+    x, offsets, weights = res
+    n, h, w, c = x.shape
+    k = kernel_size
+    g = deform_groups
+    cg = c // g
+    c_out = weights.shape[-1]
+    ho = h + 2 * padding - dilation * (k - 1) - 1 + 1
+    wo = w + 2 * padding - dilation * (k - 1) - 1 + 1
+    D = window
+    pad = D + 1
+
+    xg = x.astype(jnp.float32).reshape(n, h, w, g, cg) \
+        .transpose(3, 0, 1, 2, 4).reshape(g * n, h, w, cg)
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    off = offsets.reshape(n, ho, wo, g, k, k, 2).astype(jnp.float32) \
+        .transpose(3, 0, 1, 2, 4, 5, 6).reshape(g * n, ho, wo, k, k, 2)
+    off_taps = off.transpose(3, 4, 0, 1, 2, 5).reshape(
+        k * k, g * n, ho, wo, 2)
+    tap_dy = jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k) \
+        - padding
+    tap_dx = jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k) \
+        - padding
+    w_tap = weights.astype(jnp.float32).reshape(k * k, g, cg, c_out)
+
+    iy = jnp.arange(ho, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(wo, dtype=jnp.float32)[None, None, :]
+    d_out32 = d_out.astype(jnp.float32)
+
+    def tap_bwd(d_xg_c, tap):
+        off_t, dy, dx, m_t = tap
+        rel_y = dy + off_t[..., 0]
+        rel_x = dx + off_t[..., 1]
+        ins_y = ((iy + rel_y > -1.0) & (iy + rel_y < h)).astype(jnp.float32)
+        ins_x = ((ix + rel_x > -1.0) & (ix + rel_x < w)).astype(jnp.float32)
+        # clip passes gradient only strictly inside the window
+        gy = ((rel_y > -D) & (rel_y < D)).astype(jnp.float32)
+        gx = ((rel_x > -D) & (rel_x < D)).astype(jnp.float32)
+        rel_y = jnp.clip(rel_y, -D, D)
+        rel_x = jnp.clip(rel_x, -D, D)
+        us = list(range(-D, D + 2))
+        wys = [jnp.clip(1.0 - jnp.abs(rel_y - u), 0.0) * ins_y for u in us]
+        wxs = [jnp.clip(1.0 - jnp.abs(rel_x - v), 0.0) * ins_x for v in us]
+        # d tent(rel - u) / d rel = -sign(rel - u) where |rel - u| < 1
+        dwys = [jnp.where(jnp.abs(rel_y - u) < 1.0,
+                          -jnp.sign(rel_y - u), 0.0) * ins_y for u in us]
+        dwxs = [jnp.where(jnp.abs(rel_x - v) < 1.0,
+                          -jnp.sign(rel_x - v), 0.0) * ins_x for v in us]
+
+        # d_sampled: contract d_out with each group's tap weights
+        d_s = jnp.concatenate(
+            [jnp.einsum('nhwo,ko->nhwk', d_out32, m_t[gi],
+                        preferred_element_type=jnp.float32)
+             for gi in range(g)], axis=0)          # (g*n, ho, wo, cg)
+
+        # pass A (rows): recompute sampled for d_W, accumulate d_rel_y
+        sampled = jnp.zeros((g * n, ho, wo, cg), jnp.float32)
+        d_rely = jnp.zeros((g * n, ho, wo), jnp.float32)
+        for ui, u in enumerate(us):
+            row_acc = None
+            for vi, v in enumerate(us):
+                sl = jax.lax.slice(xp, (0, pad + u, pad + v, 0),
+                                   (g * n, pad + u + ho, pad + v + wo, cg))
+                term = sl * wxs[vi][..., None]
+                row_acc = term if row_acc is None else row_acc + term
+            sampled = sampled + row_acc * wys[ui][..., None]
+            d_rely = d_rely + jnp.sum(d_s * row_acc, axis=-1) * dwys[ui]
+
+        # pass B (cols): accumulate d_rel_x
+        d_relx = jnp.zeros((g * n, ho, wo), jnp.float32)
+        for vi, v in enumerate(us):
+            col_acc = None
+            for ui, u in enumerate(us):
+                sl = jax.lax.slice(xp, (0, pad + u, pad + v, 0),
+                                   (g * n, pad + u + ho, pad + v + wo, cg))
+                term = sl * wys[ui][..., None]
+                col_acc = term if col_acc is None else col_acc + term
+            d_relx = d_relx + jnp.sum(d_s * col_acc, axis=-1) * dwxs[vi]
+
+        # d_W for this tap
+        d_w_t = jnp.stack([
+            jnp.einsum('nhwk,nhwo->ko',
+                       jax.lax.slice_in_dim(sampled, gi * n, (gi + 1) * n,
+                                            1, axis=0),
+                       d_out32, preferred_element_type=jnp.float32)
+            for gi in range(g)], axis=0)           # (g, cg, c_out)
+
+        # d_x: transpose of the shift-weighted sum. Scatter form (pad+add
+        # per shift) lowers to scalarized kLoop fusions — measured 1.05 s
+        # of a 2.6 s step — so instead pad d_s ONCE and read every shift as
+        # a NEGATIVE-offset slice: the same slice·mul·add sweep as the
+        # forward, which XLA vectorizes.
+        #   d_x[a, b] = Σ_{u,v} (d_s · wy_u · wx_v)[a - u, b - v]
+        # The weight maps are full per-pixel fields, so they are padded and
+        # sliced with the SAME 2D offsets (pad regions are zero, which
+        # kills out-of-range terms automatically).
+        p_ds = jnp.pad(d_s, ((0, 0), (pad, phy), (pad, phx), (0, 0)))
+        for ui, u in enumerate(us):
+            p_wy = jnp.pad(wys[ui], ((0, 0), (pad, phy), (pad, phx)))
+            y_ds = jax.lax.slice(
+                p_ds, (0, pad - u, 0, 0),
+                (g * n, pad - u + h, wo + pad + phx, cg))
+            y_wy = jax.lax.slice(p_wy, (0, pad - u, 0),
+                                 (g * n, pad - u + h, wo + pad + phx))
+            y_sl = y_ds * y_wy[..., None]
+            for vi, v in enumerate(us):
+                p_wx = jnp.pad(wxs[vi], ((0, 0), (pad, phy), (pad, phx)))
+                term = jax.lax.slice(
+                    y_sl, (0, 0, pad - v, 0),
+                    (g * n, h, pad - v + w, cg)) * \
+                    jax.lax.slice(p_wx, (0, pad - u, pad - v),
+                                  (g * n, pad - u + h,
+                                   pad - v + w))[..., None]
+                d_xg_c = d_xg_c + term
+
+        d_off_t = jnp.stack([d_rely * gy, d_relx * gx], axis=-1)
+        return d_xg_c, (d_off_t, d_w_t)
+
+    # slice starts span [pad - (D+1), pad + D] = [0, 2D+1]; the high pads
+    # make every (start + extent) fit for non-equal ho/wo as well
+    phy = pad + max(0, h - ho)
+    phx = pad + max(0, w - wo)
+    d_xg0 = jnp.zeros((g * n, h, w, cg), jnp.float32)
+    d_xg, (d_off_taps, d_w_taps) = jax.lax.scan(
+        tap_bwd, d_xg0, (off_taps, tap_dy, tap_dx, w_tap))
+    d_x = d_xg.reshape(g, n, h, w, cg).transpose(1, 2, 3, 0, 4) \
+        .reshape(n, h, w, c).astype(x.dtype)
+    # invert the taps layout: (k*k, g*n, ho, wo, 2) -> (n, ho, wo, 2*g*k*k)
+    d_off = d_off_taps.reshape(k, k, g, n, ho, wo, 2) \
+        .transpose(3, 4, 5, 2, 0, 1, 6) \
+        .reshape(n, ho, wo, 2 * g * k * k).astype(offsets.dtype)
+    d_w = d_w_taps.reshape(k, k, g * cg, c_out).reshape(
+        weights.shape).astype(weights.dtype)
+    return d_x, d_off, d_w
+
+
+_windowed_cvjp.defvjp(_windowed_cvjp_fwd, _windowed_cvjp_bwd)
+
+
+@partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
+                                   'dilation', 'deform_groups', 'window'))
+def deform_conv2d_windowed(x: jnp.ndarray,
+                           offsets: jnp.ndarray,
+                           weights: jnp.ndarray,
+                           kernel_size: int = 3,
+                           stride: int = 1,
+                           padding: int = 1,
+                           dilation: int = 1,
+                           deform_groups: int = 1,
+                           window: int = 4) -> jnp.ndarray:
+    """Windowed DCN with the analytic backward (see :func:`_windowed_cvjp`);
+    forward semantics documented on :func:`_deform_conv2d_windowed_ref`."""
+    return _windowed_cvjp(x, offsets, weights, kernel_size, stride, padding,
+                          dilation, deform_groups, window)
+
 
 @partial(jax.jit, static_argnames=('kernel_size', 'stride', 'padding',
                                    'dilation', 'deform_groups', 'roi_chunk',
@@ -190,13 +375,19 @@ def deform_conv2d(x: jnp.ndarray,
                   dilation: int = 1,
                   deform_groups: int = 1,
                   roi_chunk: int = 64,
-                  window: int = None) -> jnp.ndarray:
-    """DCNv1 forward.
+                  window: int = None,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DCNv1 forward (DCNv2 when ``mask`` is given — gather path only).
 
     Args:
         x: (N, H, W, C) input.
         offsets: (N, Ho, Wo, 2*G*K*K) offsets, layout (g, kh, kw, [dy, dx]).
         weights: (K, K, C, C_out) kernel (HWIO).
+        mask: optional (N, Ho, Wo, G*K*K) modulation (already sigmoided) —
+            scales each tap's bilinear sample (reference
+            modulated_deform_conv_cuda_kernel.cu). Supported on the exact
+            gather path (``window=None``), which also handles stride > 1 —
+            the strided first blocks of DCN backbone stages.
     Returns:
         (N, Ho, Wo, C_out).
 
@@ -308,8 +499,15 @@ def deform_conv2d(x: jnp.ndarray,
     tap_dy = jnp.repeat(jnp.arange(k, dtype=jnp.float32) * dilation, k)
     tap_dx = jnp.tile(jnp.arange(k, dtype=jnp.float32) * dilation, k)
 
+    if mask is not None:
+        # (N, Ho, Wo, G*K*K) in (g, kh, kw) layout -> (k*k, g*n, ho, wo)
+        mk = mask.reshape(n, ho, wo, g, k, k).astype(jnp.float32) \
+            .transpose(4, 5, 3, 0, 1, 2).reshape(k * k, g * n, ho, wo)
+    else:
+        mk = jnp.ones((k * k, 1, 1, 1), jnp.float32)
+
     def tap_body(out, tap):
-        off_t, dy, dx, m_t = tap
+        off_t, dy, dx, m_t, mk_t = tap
         ys = base_y[None, :, None] + dy + off_t[..., 0]
         xs = base_x[None, None, :] + dx + off_t[..., 1]
         iy = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
@@ -343,6 +541,8 @@ def deform_conv2d(x: jnp.ndarray,
                 v01 * ((wy0 * wx1 * inside)[..., None]).astype(dt) +
                 v10 * ((wy1 * wx0 * inside)[..., None]).astype(dt) +
                 v11 * ((wy1 * wx1 * inside)[..., None]).astype(dt))
+        if mask is not None:
+            weighted = weighted * mk_t[..., None].astype(dt)
         for gi in range(g):
             wg = jax.lax.slice_in_dim(weighted, gi * n, (gi + 1) * n,
                                       1, axis=0)
@@ -353,7 +553,7 @@ def deform_conv2d(x: jnp.ndarray,
 
     out0 = jnp.zeros((n, ho, wo, c_out), jnp.float32)
     out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
-                          (off_taps, tap_dy, tap_dx, m))
+                          (off_taps, tap_dy, tap_dx, m, mk))
     return out.astype(x.dtype)
 
 

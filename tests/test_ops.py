@@ -373,6 +373,29 @@ class TestPallasWindowedDCN:
             np.testing.assert_allclose(np.asarray(r), np.asarray(got),
                                        rtol=2e-3, atol=2e-3)
 
+    def test_windowed_analytic_vjp_matches_autodiff(self):
+        """The windowed path's custom analytic backward == autodiff of the
+        raw formulation for d_x / d_offsets / d_weights (non-square input,
+        grouped, offsets past the window edge exercise the clip mask)."""
+        from dynamask_tpu.ops.deform_conv import (
+            deform_conv2d_windowed, _deform_conv2d_windowed_ref)
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        n, h, w, c, co, g, D = 2, 6, 9, 8, 16, 2, 2
+        x = jax.random.normal(ks[0], (n, h, w, c), jnp.float32)
+        off = jax.random.uniform(ks[1], (n, h, w, g * 18), minval=-3.5,
+                                 maxval=3.5)
+        wt = jax.random.normal(ks[2], (3, 3, c, co)) * 0.1
+        ct = jax.random.normal(ks[3], (n, h, w, co))
+        _, ref_vjp = jax.vjp(
+            lambda xx, oo, ww: _deform_conv2d_windowed_ref(
+                xx, oo, ww, deform_groups=g, window=D), x, off, wt)
+        _, got_vjp = jax.vjp(
+            lambda xx, oo, ww: deform_conv2d_windowed(
+                xx, oo, ww, deform_groups=g, window=D), x, off, wt)
+        for r, got in zip(ref_vjp(ct), got_vjp(ct)):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(got),
+                                       rtol=1e-4, atol=1e-4)
+
 
 class TestSeparableRoIAlign:
     def test_matches_gather_path(self):
