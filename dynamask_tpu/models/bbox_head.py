@@ -35,6 +35,12 @@ class ConvFCBBoxHead(nn.Module):
     reg_class_agnostic: bool = False
     with_cls: bool = True
     with_reg: bool = True
+    # plain BBoxHead form (bbox_head.py:13-101): global avg-pool instead of
+    # flatten — the C4 head behind a ResLayer shared head
+    with_avg_pool: bool = False
+    # norm_cfg=GN on the shared convs (configs/gn Shared4Conv1FCBBoxHead)
+    norm: Optional[str] = None
+    gn_groups: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -42,8 +48,14 @@ class ConvFCBBoxHead(nn.Module):
         bbox_deltas (N, 4) or (N, C*4))."""
         for i in range(self.num_shared_convs):
             x = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=self.norm is None,
                         name=f'shared_conv_{i}')(x)
+            if self.norm == 'gn':
+                x = nn.GroupNorm(num_groups=self.gn_groups,
+                                 name=f'shared_gn_{i}')(x)
             x = nn.relu(x)
+        if self.with_avg_pool:
+            x = jnp.mean(x, axis=(1, 2))
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_shared_fcs):
             x = nn.Dense(self.fc_out_channels,
@@ -74,6 +86,15 @@ class Shared2FCBBoxHead(ConvFCBBoxHead):
 class Shared4Conv1FCBBoxHead(ConvFCBBoxHead):
     num_shared_convs: int = 4
     num_shared_fcs: int = 1
+
+
+@HEADS.register_module()
+class BBoxHead(ConvFCBBoxHead):
+    """The plain (non-ConvFC) head: avg-pool -> linear cls/reg
+    (bbox_head.py:13-101) — used behind the C4 ResLayer shared head."""
+    num_shared_convs: int = 0
+    num_shared_fcs: int = 0
+    with_avg_pool: bool = True
 
 
 class BBoxTargets(NamedTuple):

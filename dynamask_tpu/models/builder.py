@@ -24,24 +24,65 @@ def _cfg(d: Optional[dict]) -> dict:
     return dict(d) if d else {}
 
 
+def _resnet_feature_hooks(cfg: dict) -> dict:
+    """Translate the reference ResNet config keys for norm_cfg / conv_cfg /
+    dcn / plugins / strides / dilations into ResNet module fields
+    (reference resnet.py:304-651 + mmcv build_conv_layer/build_norm_layer).
+    Mutates ``cfg`` (pops the translated keys), returns extra kwargs."""
+    extra = {}
+    norm_cfg = _cfg(cfg.pop('norm_cfg', None))
+    if norm_cfg.get('type') == 'GN':
+        extra['norm'] = 'gn'
+        extra['gn_groups'] = norm_cfg.get('num_groups', 32)
+    conv_cfg = _cfg(cfg.pop('conv_cfg', None))
+    if conv_cfg.get('type') == 'ConvWS':
+        extra['conv_ws'] = True
+    dcn = _cfg(cfg.pop('dcn', None))
+    stage_with_dcn = cfg.pop('stage_with_dcn', None)
+    if dcn:
+        extra['stage_with_dcn'] = tuple(
+            stage_with_dcn if stage_with_dcn is not None
+            else (False, True, True, True))
+        extra['dcn_deform_groups'] = dcn.get(
+            'deform_groups', dcn.get('deformable_groups', 1))
+        extra['dcn_modulated'] = 'v2' in str(dcn.get('type', 'DCN')).lower()
+    plugins = cfg.pop('plugins', None)
+    if plugins:
+        per_stage = [[], [], [], []]
+        for p in plugins:
+            p = _cfg(p)
+            pc = _cfg(p.get('cfg'))
+            type_name = pc.pop('type')
+            pos = p.get('position', 'after_conv3')
+            stages = p.get('stages', (True,) * 4)
+            spec = (pos, type_name, tuple(sorted(pc.items())))
+            for si, on in enumerate(stages):
+                if on:
+                    per_stage[si].append(spec)
+        extra['plugins_per_stage'] = tuple(
+            tuple(s) for s in per_stage)
+    if 'strides' in cfg:
+        cfg['strides'] = tuple(cfg['strides'])
+    if 'dilations' in cfg:
+        cfg['dilations'] = tuple(cfg['dilations'])
+    return extra
+
+
 def build_backbone(cfg: dict):
     cfg = _cfg(cfg)
     t = cfg.pop('type')
     if t == 'ResNet':
-        cfg.pop('norm_cfg', None)  # BN is the only norm wired in
-        cfg.pop('dcn', None)
-        cfg.pop('stage_with_dcn', None)
-        cfg.pop('plugins', None)
+        extra = _resnet_feature_hooks(cfg)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
-        return ResNet(**cfg)
+        return ResNet(**extra, **cfg)
     if t == 'ResNetV1d':
-        cfg.pop('norm_cfg', None)
+        extra = _resnet_feature_hooks(cfg)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
-        return ResNet(deep_stem=True, avg_down=True, **cfg)
+        return ResNet(deep_stem=True, avg_down=True, **extra, **cfg)
     if t == 'ResNeXt':
-        cfg.pop('norm_cfg', None)
+        extra = _resnet_feature_hooks(cfg)
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
-        return ResNet(**cfg)
+        return ResNet(**extra, **cfg)
     if t == 'HRNet':
         from .hrnet import HRNet
         cfg.pop('norm_cfg', None)
@@ -95,6 +136,11 @@ def build_neck(cfg: dict):
     if isinstance(cfg, (list, tuple)):  # chained necks, e.g. [FPN, BFP]
         from .necks_extra import ChainedNeck
         return ChainedNeck(necks=tuple(build_neck(c) for c in cfg))
+    if not cfg:
+        # C4-style detectors have no neck (reference two_stage.py builds
+        # the neck only if the key is present)
+        from .necks_extra import IdentityNeck
+        return IdentityNeck()
     cfg = _cfg(cfg)
     t = cfg.pop('type')
     if t == 'HRFPN':
@@ -151,7 +197,10 @@ def build_neck(cfg: dict):
     if cls is None:
         raise KeyError(f'unsupported neck {t}')
     cfg['in_channels'] = tuple(cfg['in_channels'])
-    cfg.pop('norm_cfg', None)
+    norm_cfg = _cfg(cfg.pop('norm_cfg', None))
+    if norm_cfg.get('type') == 'GN':
+        cfg['norm'] = 'gn'
+        cfg['gn_groups'] = norm_cfg.get('num_groups', 32)
     return cls(**cfg)
 
 
@@ -171,9 +220,11 @@ def build_rpn_head(cfg: dict):
 def build_bbox_head(cfg: dict):
     cfg = _cfg(cfg)
     t = cfg.pop('type')
+    from .bbox_head import BBoxHead
     cls = {'Shared2FCBBoxHead': Shared2FCBBoxHead,
            'ConvFCBBoxHead': ConvFCBBoxHead,
-           'Shared4Conv1FCBBoxHead': Shared4Conv1FCBBoxHead}.get(t)
+           'Shared4Conv1FCBBoxHead': Shared4Conv1FCBBoxHead,
+           'BBoxHead': BBoxHead}.get(t)
     coder = _cfg(cfg.pop('bbox_coder', {}))
     loss_cls = _cfg(cfg.pop('loss_cls', {}))
     loss_bbox = _cfg(cfg.pop('loss_bbox', {}))
@@ -191,12 +242,15 @@ def build_bbox_head(cfg: dict):
         return head, coder, loss_cls, loss_bbox
     if cls is None:
         raise KeyError(f'unsupported bbox head {t}')
+    norm_cfg = _cfg(cfg.get('norm_cfg'))
     head = cls(num_classes=cfg.get('num_classes', 80),
                in_channels=cfg.get('in_channels', 256),
                roi_feat_size=cfg.get('roi_feat_size', 7),
                fc_out_channels=cfg.get('fc_out_channels', 1024),
                reg_class_agnostic=cfg.get('reg_class_agnostic', False),
-               with_reg=cfg.get('with_reg', True))
+               with_reg=cfg.get('with_reg', True),
+               norm='gn' if norm_cfg.get('type') == 'GN' else None,
+               gn_groups=norm_cfg.get('num_groups', 32))
     if not cfg.get('with_reg', True):
         loss_bbox = dict(loss_bbox, loss_weight=0.0)
     return head, coder, loss_cls, loss_bbox
@@ -255,17 +309,27 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
     )
 
     if t in ('StandardRoIHead', 'MaskScoringRoIHead'):
+        if cfg.get('shared_head'):
+            from .shared_head import ResLayerSharedHead
+            shc = _cfg(cfg['shared_head'])
+            assert shc.pop('type') == 'ResLayer', shc
+            shc.pop('norm_cfg', None)
+            shc.pop('pretrained', None)
+            common['shared_head'] = ResLayerSharedHead(**shc)
         mask_head = None
         if cfg.get('mask_head'):
             mhc = _cfg(cfg['mask_head'])
             mt = mhc.pop('type')
             assert mt == 'FCNMaskHead', mt
+            mnorm = _cfg(mhc.get('norm_cfg'))
             mask_head = FCNMaskHead(
                 num_convs=mhc.get('num_convs', 4),
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
                 class_agnostic=mhc.get('class_agnostic', False),
+                norm='gn' if mnorm.get('type') == 'GN' else None,
+                gn_groups=mnorm.get('num_groups', 32),
                 upsample_type=_cfg(mhc.get('upsample_cfg')).get(
                     'type', 'deconv'))
             common['loss_mask_weight'] = _cfg(
@@ -285,12 +349,15 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
         if cfg.get('mask_head'):
             mhc = _cfg(cfg['mask_head'])
             assert mhc.pop('type') == 'FCNMaskHead'
+            mnorm = _cfg(mhc.get('norm_cfg'))
             mask_head = FCNMaskHead(
                 num_convs=mhc.get('num_convs', 4),
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
                 class_agnostic=mhc.get('class_agnostic', False),
+                norm='gn' if mnorm.get('type') == 'GN' else None,
+                gn_groups=mnorm.get('num_groups', 32),
                 upsample_type=_cfg(mhc.get('upsample_cfg')).get(
                     'type', 'deconv'))
             common['loss_mask_weight'] = _cfg(
@@ -434,12 +501,15 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
             mhc = _cfg(cfg['mask_head'])
             mt = mhc.pop('type')
             assert mt == 'FCNMaskHead', mt
+            mnorm = _cfg(mhc.get('norm_cfg'))
             mask_head = FCNMaskHead(
                 num_convs=mhc.get('num_convs', 4),
                 in_channels=mhc.get('in_channels', 256),
                 conv_out_channels=mhc.get('conv_out_channels', 256),
                 num_classes=mhc.get('num_classes', 80),
                 class_agnostic=mhc.get('class_agnostic', False),
+                norm='gn' if mnorm.get('type') == 'GN' else None,
+                gn_groups=mnorm.get('num_groups', 32),
                 upsample_type=_cfg(mhc.get('upsample_cfg')).get(
                     'type', 'deconv'))
         stage_assigners = [_cfg(s.get('assigner')) for s in
@@ -606,6 +676,21 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
     tc = _cfg(test_cfg)
     cls = RetinaNet if t == 'RetinaNet' else SingleStageDetector
     extra = {}
+    # configs/legacy_1.x: v1.x anchors + coder
+    if ('Legacy' in anchor_cfg.get('type', '') or
+            'Legacy' in _cfg(hc.get('bbox_coder')).get('type', '')):
+        extra['legacy'] = True
+    # configs/ghm: GHM-C / GHM-R replace focal / L1
+    loss_bbox = _cfg(hc.get('loss_bbox'))
+    if loss_cls.get('type') == 'GHMC':
+        extra.update(cls_loss_type='ghmc',
+                     ghm_c_bins=loss_cls.get('bins', 30),
+                     loss_cls_weight=loss_cls.get('loss_weight', 1.0))
+    if loss_bbox.get('type') == 'GHMR':
+        extra.update(reg_loss_type='ghmr',
+                     ghm_r_bins=loss_bbox.get('bins', 10),
+                     ghm_mu=loss_bbox.get('mu', 0.02),
+                     loss_bbox_weight=loss_bbox.get('loss_weight', 10.0))
     if ht == 'PISARetinaHead':
         from .pisa import PISARetinaNet
         cls = PISARetinaNet
@@ -657,6 +742,9 @@ def build_ssd(cfg: dict, train_cfg: dict, test_cfg: dict):
     tc = _cfg(test_cfg)
     extra = {}
     cls = SSD
+    if ('Legacy' in anchor_cfg.get('type', '') or
+            'Legacy' in coder.get('type', '')):
+        extra['legacy'] = True
     if hc.get('type') == 'PISASSDHead':
         from .pisa import PISASSD
         cls = PISASSD
@@ -1024,7 +1112,7 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
         raise KeyError(f'unsupported detector {t}')
 
     backbone = build_backbone(cfg['backbone'])
-    neck = build_neck(cfg['neck'])
+    neck = build_neck(cfg.get('neck'))
     rpn_head, anchor_cfg, rpn_coder, rpn_loss_cls, rpn_loss_bbox = \
         build_rpn_head(cfg['rpn_head'])
     roi_head = build_roi_head(cfg['roi_head'], _cfg(train_cfg), _cfg(test_cfg))

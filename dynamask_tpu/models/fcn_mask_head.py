@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..utils.registry import HEADS
+from typing import Optional
+
 from .layers import kaiming_normal_fan_out
 from .losses import binary_cross_entropy_with_logits
 
@@ -24,6 +26,9 @@ class FCNMaskHead(nn.Module):
     num_classes: int = 80
     class_agnostic: bool = False
     upsample_type: str = 'deconv'   # 'deconv' | 'carafe' (configs/carafe/)
+    # norm_cfg=GN on the tower convs (configs/gn mask_head norm_cfg)
+    norm: Optional[str] = None
+    gn_groups: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -31,8 +36,12 @@ class FCNMaskHead(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.conv_out_channels, (3, 3),
                         padding=[(1, 1), (1, 1)],
+                        use_bias=self.norm is None,
                         kernel_init=kaiming_normal_fan_out(),
                         name=f'conv_{i}')(x)
+            if self.norm == 'gn':
+                x = nn.GroupNorm(num_groups=self.gn_groups,
+                                 name=f'gn_{i}')(x)
             x = nn.relu(x)
         if self.upsample_type == 'carafe':
             from .carafe import CARAFEPack

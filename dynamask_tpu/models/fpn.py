@@ -28,6 +28,15 @@ class FPN(nn.Module):
     add_extra_convs: Union[bool, str] = False
     extra_convs_on_inputs: bool = True
     relu_before_extra_convs: bool = False
+    # norm_cfg=GN (configs/gn; reference fpn.py builds ConvModule with
+    # norm_cfg — bias dropped when a norm follows)
+    norm: Union[str, None] = None
+    gn_groups: int = 32
+
+    def _n(self, x, name):
+        if self.norm == 'gn':
+            return nn.GroupNorm(num_groups=self.gn_groups, name=name)(x)
+        return x
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
@@ -35,10 +44,12 @@ class FPN(nn.Module):
         end = len(self.in_channels) if self.end_level == -1 else self.end_level
         used = list(inputs[self.start_level:end])
         num_laterals = len(used)
+        use_bias = self.norm is None
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), kernel_init=_xavier_uniform,
-                    name=f'lateral_{i}')(used[i])
+            self._n(nn.Conv(self.out_channels, (1, 1),
+                            kernel_init=_xavier_uniform, use_bias=use_bias,
+                            name=f'lateral_{i}')(used[i]), f'lateral_gn_{i}')
             for i in range(num_laterals)
         ]
         # top-down pathway (nearest upsample; fpn.py:152-156)
@@ -49,8 +60,11 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
 
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    kernel_init=_xavier_uniform, name=f'fpn_conv_{i}')(laterals[i])
+            self._n(nn.Conv(self.out_channels, (3, 3),
+                            padding=[(1, 1), (1, 1)],
+                            kernel_init=_xavier_uniform, use_bias=use_bias,
+                            name=f'fpn_conv_{i}')(laterals[i]),
+                    f'fpn_gn_{i}')
             for i in range(num_laterals)
         ]
 

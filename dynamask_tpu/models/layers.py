@@ -64,6 +64,43 @@ class ConvModule(nn.Module):
         return x
 
 
+class WSConv(nn.Module):
+    """Weight-standardized conv (mmcv ConvWS2d, conv_ws.py — the 'gn+ws'
+    config family): the kernel is normalized to zero mean / unit std over
+    (kh, kw, cin) per output channel before the convolution."""
+
+    out_channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = False
+    eps: float = 1e-5
+    kernel_init: Callable = kaiming_normal_fan_out()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1] // self.feature_group_count
+        w = self.param('kernel', self.kernel_init,
+                       self.kernel_size + (cin, self.out_channels))
+        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        std = jnp.std(w, axis=(0, 1, 2), keepdims=True)
+        w = (w - mean) / (std + self.eps)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), self.strides, pad,
+            rhs_dilation=self.kernel_dilation,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            y = y + self.param('bias', nn.initializers.zeros,
+                               (self.out_channels,))
+        return y
+
+
 def max_pool(x: jnp.ndarray, window: int, stride: int,
              padding: Union[int, str] = 0) -> jnp.ndarray:
     """Max pool over NHWC."""

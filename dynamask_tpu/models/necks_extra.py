@@ -95,6 +95,13 @@ class NonLocal2d(nn.Module):
         return x + y
 
 
+class IdentityNeck(nn.Module):
+    """Pass-through for neck-less (C4) detectors."""
+
+    def __call__(self, inputs, train: bool = False):
+        return inputs
+
+
 class ChainedNeck(nn.Module):
     """Compose necks sequentially (the reference builds list-valued neck
     configs into an nn.Sequential, models/builder.py:build_neck)."""

@@ -4,8 +4,14 @@ Rebuild of the reference backbone (reference: mmdet/models/backbones/
 resnet.py:304-651) with the detection-specific semantics that matter for
 parity: ``frozen_stages`` (stem + first N stages excluded from training),
 ``norm_eval`` (all BatchNorms run on running statistics during training),
-'pytorch' vs 'caffe' block style (stride placement), and zero-init of the
-last BN in each block (``zero_init_residual``).
+'pytorch' vs 'caffe' block style (stride placement), zero-init of the
+last BN in each block (``zero_init_residual``), per-stage ``strides`` /
+``dilations`` (the C4 trunk), GN via ``norm_cfg`` (configs/gn),
+weight-standardized convs via ``conv_cfg=ConvWS`` (configs/gn+ws), DCN in
+the 3x3 via ``dcn`` + ``stage_with_dcn`` (configs/dcn), and block plugins
+(``ContextBlock`` / ``GeneralizedAttention``) via ``plugins`` with
+after_conv1/2/3 positions (configs/gcnet, configs/empirical_attention;
+reference resnet.py make_block_plugins / Bottleneck.forward_plugin).
 
 Freezing is implemented the JAX way: parameters of frozen stages are listed
 by :meth:`ResNet.frozen_param_paths` and masked out of the optimizer update
@@ -21,52 +27,147 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..utils.registry import BACKBONES
-from .layers import kaiming_normal_fan_out, max_pool
+from .layers import kaiming_normal_fan_out, max_pool, WSConv
+
+# plugin spec: (position, type_name, ((arg, value), ...)) — tuples, not
+# dicts, so the module stays hashable for flax
+PluginSpec = Tuple[str, str, Tuple]
 
 
-class BasicBlock(nn.Module):
+def _build_plugin(type_name: str, args: Tuple, channels: int, name: str):
+    from . import plugins as P
+    kwargs = dict(args)
+    cls = {'ContextBlock': P.ContextBlock,
+           'GeneralizedAttention': P.GeneralizedAttention}[type_name]
+    return cls(in_channels=channels, name=name, **kwargs)
+
+
+class _BlockBase(nn.Module):
+    """Shared conv/norm/plugin helpers for the residual blocks."""
+
+    def _conv(self, ch, k, stride, dilation, name, groups=1):
+        pad = dilation * (k - 1) // 2
+        if getattr(self, 'conv_ws', False):
+            return WSConv(ch, (k, k), strides=(stride, stride),
+                          padding=pad, kernel_dilation=(dilation, dilation),
+                          feature_group_count=groups, name=name)
+        return nn.Conv(ch, (k, k), strides=(stride, stride),
+                       padding=[(pad, pad), (pad, pad)],
+                       kernel_dilation=(dilation, dilation),
+                       feature_group_count=groups, use_bias=False,
+                       kernel_init=kaiming_normal_fan_out(), name=name)
+
+    def _norm(self, x, use_ra, name, zero_init=False):
+        if getattr(self, 'norm', 'bn') == 'gn':
+            scale_init = (nn.initializers.zeros if zero_init
+                          else nn.initializers.ones)
+            return nn.GroupNorm(num_groups=getattr(self, 'gn_groups', 32),
+                                scale_init=scale_init, name=name)(x)
+        scale_init = (nn.initializers.zeros if zero_init
+                      else nn.initializers.ones)
+        return nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+                            epsilon=1e-5, scale_init=scale_init,
+                            name=name)(x)
+
+    def _plugins(self, x, position):
+        for i, (pos, type_name, args) in enumerate(
+                getattr(self, 'plugins', ())):
+            if pos == position:
+                x = _build_plugin(type_name, args, x.shape[-1],
+                                  f'{position}_plugin{i}')(x)
+        return x
+
+    def _dcn3x3(self, x, ch, stride, dilation, name, groups=1):
+        """3x3 DCN replacement (reference Bottleneck with dcn=DCN/DCNv2;
+        offsets from a zero-init conv, like mmcv DeformConv2dPack)."""
+        from ..ops.deform_conv import deform_conv2d, modulated_deform_conv2d
+        k = 3
+        dg = getattr(self, 'dcn_deform_groups', 1)
+        modulated = getattr(self, 'dcn_modulated', False)
+        n_off = dg * 2 * k * k
+        n_extra = dg * k * k if modulated else 0
+        off = nn.Conv(n_off + n_extra, (k, k), strides=(stride, stride),
+                      padding=[(dilation, dilation)] * 2,
+                      kernel_dilation=(dilation, dilation),
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name=f'{name}_offset')(x)
+        w = self.param(f'{name}_weight', kaiming_normal_fan_out(),
+                       (k, k, x.shape[-1], ch))
+        if modulated:
+            offsets = off[..., :n_off]
+            mask = jax.nn.sigmoid(off[..., n_off:])
+            if stride == 1 and x.shape[1] == x.shape[2]:
+                return modulated_deform_conv2d(
+                    x, offsets, mask, w, kernel_size=k, padding=dilation,
+                    dilation=dilation, deform_groups=dg)
+            return deform_conv2d(x, offsets, w, kernel_size=k,
+                                 stride=stride, padding=dilation,
+                                 dilation=dilation, deform_groups=dg,
+                                 window=None, roi_chunk=0, mask=mask)
+        return deform_conv2d(x, off, w, kernel_size=k, stride=stride,
+                             padding=dilation, dilation=dilation,
+                             deform_groups=dg, window=None, roi_chunk=0)
+
+
+class BasicBlock(_BlockBase):
     planes: int
     stride: int = 1
+    dilation: int = 1
     downsample: bool = False
     norm_eval: bool = True
     zero_init_residual: bool = True
+    norm: str = 'bn'
+    gn_groups: int = 32
+    conv_ws: bool = False
+    dcn: bool = False
+    dcn_deform_groups: int = 1
+    dcn_modulated: bool = False
+    plugins: Tuple[PluginSpec, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_ra = (not train) or self.norm_eval
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
-        out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                           epsilon=1e-5, name='bn1')(out)
+        if self.dcn:
+            out = self._dcn3x3(x, self.planes, self.stride, self.dilation,
+                               'conv1')
+        else:
+            out = self._conv(self.planes, 3, self.stride, self.dilation,
+                             'conv1')(x)
+        out = self._norm(out, use_ra, 'bn1')
+        out = self._plugins(out, 'after_conv1')
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, kernel_init=kaiming_normal_fan_out(),
-                      name='conv2')(out)
-        scale_init = (nn.initializers.zeros if self.zero_init_residual
-                      else nn.initializers.ones)
-        out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                           epsilon=1e-5, scale_init=scale_init, name='bn2')(out)
+        out = self._conv(self.planes, 3, 1, self.dilation, 'conv2')(out)
+        out = self._norm(out, use_ra, 'bn2',
+                         zero_init=self.zero_init_residual)
+        out = self._plugins(out, 'after_conv2')
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False,
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_fan_out(),
                                name='downsample_conv')(x)
-            identity = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                                    epsilon=1e-5, name='downsample_bn')(identity)
+            identity = self._norm(identity, use_ra, 'downsample_bn')
         return nn.relu(out + identity)
 
 
-class Bottleneck(nn.Module):
+class Bottleneck(_BlockBase):
     planes: int          # bottleneck width; output channels = planes * 4
     stride: int = 1
+    dilation: int = 1
     downsample: bool = False
     style: str = 'pytorch'
     norm_eval: bool = True
     zero_init_residual: bool = True
     groups: int = 1
     base_width: int = 64
+    norm: str = 'bn'
+    gn_groups: int = 32
+    conv_ws: bool = False
+    dcn: bool = False
+    dcn_deform_groups: int = 1
+    dcn_modulated: bool = False
+    plugins: Tuple[PluginSpec, ...] = ()
 
     expansion = 4
 
@@ -79,31 +180,29 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
 
         identity = x
-        out = nn.Conv(width, (1, 1), strides=(s1,) * 2, use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
-        out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                           epsilon=1e-5, name='bn1')(out)
+        out = self._conv(width, 1, s1, 1, 'conv1')(x)
+        out = self._norm(out, use_ra, 'bn1')
+        out = self._plugins(out, 'after_conv1')
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=(s2,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      feature_group_count=self.groups,
-                      kernel_init=kaiming_normal_fan_out(), name='conv2')(out)
-        out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                           epsilon=1e-5, name='bn2')(out)
+        if self.dcn:
+            out = self._dcn3x3(out, width, s2, self.dilation, 'conv2',
+                               groups=self.groups)
+        else:
+            out = self._conv(width, 3, s2, self.dilation, 'conv2',
+                             groups=self.groups)(out)
+        out = self._norm(out, use_ra, 'bn2')
+        out = self._plugins(out, 'after_conv2')
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(), name='conv3')(out)
-        scale_init = (nn.initializers.zeros if self.zero_init_residual
-                      else nn.initializers.ones)
-        out = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                           epsilon=1e-5, scale_init=scale_init, name='bn3')(out)
+        out = self._conv(self.planes * self.expansion, 1, 1, 1, 'conv3')(out)
+        out = self._norm(out, use_ra, 'bn3',
+                         zero_init=self.zero_init_residual)
+        out = self._plugins(out, 'after_conv3')
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_init=kaiming_normal_fan_out(),
                                name='downsample_conv')(x)
-            identity = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                                    epsilon=1e-5, name='downsample_bn')(identity)
+            identity = self._norm(identity, use_ra, 'downsample_bn')
         return nn.relu(out + identity)
 
 
@@ -121,11 +220,13 @@ class ResNet(nn.Module):
     """ResNet with detection hooks (reference resnet.py:304-651).
 
     Returns a tuple of stage outputs selected by ``out_indices``
-    (strides 4/8/16/32 for indices 0..3).
+    (strides 4/8/16/32 for indices 0..3 at the default stage strides).
     """
 
     depth: int = 50
     num_stages: int = 4
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = -1
     norm_eval: bool = True
@@ -137,12 +238,26 @@ class ResNet(nn.Module):
     deep_stem: bool = False       # ResNetV1d stem
     avg_down: bool = False        # accepted for config compat (not yet used)
     block_remat: bool = True      # checkpoint each block (training memory)
+    norm: str = 'bn'              # 'bn' | 'gn' (norm_cfg=GN)
+    gn_groups: int = 32
+    conv_ws: bool = False         # conv_cfg=ConvWS (gn+ws)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_deform_groups: int = 1
+    dcn_modulated: bool = False
+    # per-stage plugin specs: plugins_per_stage[stage] = (PluginSpec, ...)
+    plugins_per_stage: Tuple[Tuple[PluginSpec, ...], ...] = ((), (), (), ())
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         use_ra = (not train) or self.norm_eval
+
+        def stem_norm(h, name):
+            if self.norm == 'gn':
+                return nn.GroupNorm(num_groups=self.gn_groups, name=name)(h)
+            return nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+                                epsilon=1e-5, name=name)(h)
 
         # stem: 7x7/2 conv (or deep 3x3 stack) + maxpool 3x3/2
         if self.deep_stem:
@@ -153,15 +268,13 @@ class ResNet(nn.Module):
                             padding=[(1, 1), (1, 1)], use_bias=False,
                             kernel_init=kaiming_normal_fan_out(),
                             name=f'stem_conv{i + 1}')(x)
-                x = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                                 epsilon=1e-5, name=f'stem_bn{i + 1}')(x)
+                x = stem_norm(x, f'stem_bn{i + 1}')
                 x = nn.relu(x)
         else:
             x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,
                         kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
-            x = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                             epsilon=1e-5, name='bn1')(x)
+            x = stem_norm(x, 'bn1')
             x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=1)
         if self.frozen_stages >= 0:
@@ -173,30 +286,36 @@ class ResNet(nn.Module):
         if self.block_remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
         for stage_idx, num_blocks in enumerate(stage_blocks):
-            stride = 1 if stage_idx == 0 else 2
+            stride = self.strides[stage_idx]
+            dilation = self.dilations[stage_idx]
+            dcn = self.stage_with_dcn[stage_idx]
+            stage_plugins = (self.plugins_per_stage[stage_idx]
+                             if stage_idx < len(self.plugins_per_stage)
+                             else ())
             for block_idx in range(num_blocks):
                 first = block_idx == 0
+                common = dict(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    dilation=dilation,
+                    norm_eval=self.norm_eval,
+                    zero_init_residual=self.zero_init_residual,
+                    norm=self.norm, gn_groups=self.gn_groups,
+                    conv_ws=self.conv_ws,
+                    dcn=dcn,
+                    dcn_deform_groups=self.dcn_deform_groups,
+                    dcn_modulated=self.dcn_modulated,
+                    plugins=stage_plugins,
+                    name=f'layer{stage_idx + 1}_block{block_idx}')
                 if is_bottleneck:
                     # first block always projects (channel change), even at
                     # stride 1 in stage 1
-                    block = block_cls(
-                        planes=planes,
-                        stride=stride if first else 1,
-                        downsample=first,
-                        style=self.style,
-                        norm_eval=self.norm_eval,
-                        zero_init_residual=self.zero_init_residual,
-                        groups=self.groups,
-                        base_width=self.base_width,
-                        name=f'layer{stage_idx + 1}_block{block_idx}')
+                    block = block_cls(downsample=first, style=self.style,
+                                      groups=self.groups,
+                                      base_width=self.base_width, **common)
                 else:
-                    block = block_cls(
-                        planes=planes,
-                        stride=stride if first else 1,
-                        downsample=first and stage_idx > 0,
-                        norm_eval=self.norm_eval,
-                        zero_init_residual=self.zero_init_residual,
-                        name=f'layer{stage_idx + 1}_block{block_idx}')
+                    block = block_cls(downsample=first and stage_idx > 0,
+                                      **common)
                 x = block(x, train)
             if stage_idx + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -36,6 +36,9 @@ class StandardRoIHead(nn.Module):
 
     bbox_head: nn.Module
     mask_head: Optional[nn.Module] = None
+    # C4 ResLayer shared head, applied between RoI extract and the heads
+    # (reference shared_heads/res_layer.py via roi_head.shared_head)
+    shared_head: Optional[nn.Module] = None
     num_classes: int = 80
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     bbox_roi_out: int = 7
@@ -126,9 +129,13 @@ class StandardRoIHead(nn.Module):
             finest_scale=self.finest_scale)
 
     def _bbox_forward(self, feats, rois, roi_batch, train=False):
-        """RoI extract + bbox head -> (cls_logits, bbox_deltas). Overridden
-        by variants with a different feature pull (e.g. DoubleHeadRoIHead)."""
+        """RoI extract + (shared head) + bbox head -> (cls_logits,
+        bbox_deltas). Overridden by variants with a different feature pull
+        (e.g. DoubleHeadRoIHead). The shared head is the C4 ResLayer
+        (reference standard_roi_head.py _bbox_forward: with_shared_head)."""
         bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
+        if self.shared_head is not None:
+            bbox_feats = self.shared_head(bbox_feats, train=train)
         return self.bbox_head(bbox_feats, train=train)
 
     # ----------------------------------------------------------------- train
@@ -179,6 +186,8 @@ class StandardRoIHead(nn.Module):
             self._pos_rois(sample)
         mask_feats = self._extract(feats, pos_boxes, roi_batch,
                                    self.mask_roi_out)
+        if self.shared_head is not None:
+            mask_feats = self.shared_head(mask_feats, train=train)
         mask_logits = self.mask_head(mask_feats, train=train)
         mask_targets = mask_targets_from_crops(
             batch['gt_crops'], batch['gt_windows'], pos_boxes, roi_batch,
@@ -229,6 +238,8 @@ class StandardRoIHead(nn.Module):
         rois = boxes.reshape(b * d, 4)
         roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         mask_feats = self._extract(feats, rois, roi_batch, self.mask_roi_out)
+        if self.shared_head is not None:
+            mask_feats = self.shared_head(mask_feats, train=False)
         mask_logits = self.mask_head(mask_feats, train=False)
         pred = select_class_channel(mask_logits, labels.reshape(b * d))
         probs = jax.nn.sigmoid(pred)

@@ -140,11 +140,26 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
                      focal_alpha: float = 0.25,
                      loss_cls_weight: float = 1.0,
                      loss_bbox_weight: float = 1.0,
-                     anchor_valid=None):
-    """Dense focal-loss anchor training (anchor_head.py:loss with
-    sampling=False: every non-ignored anchor contributes to cls, normalized
-    by the batch positive count). ``anchor_valid``: optional (A,) or (B, A)
-    valid flags excluding anchors over static-canvas padding."""
+                     anchor_valid=None,
+                     cls_loss_type: str = 'focal',
+                     reg_loss_type: str = 'l1',
+                     ghm_c_bins: int = 30,
+                     ghm_r_bins: int = 10,
+                     ghm_mu: float = 0.02,
+                     legacy: bool = False):
+    """Dense anchor training (anchor_head.py:loss with sampling=False:
+    every non-ignored anchor contributes to cls, normalized by the batch
+    positive count). ``anchor_valid``: optional (A,) or (B, A) valid flags
+    excluding anchors over static-canvas padding. ``cls_loss_type`` /
+    ``reg_loss_type`` select focal/L1 (RetinaNet) or GHM-C/GHM-R
+    (configs/ghm — self-normalizing batch-global histograms)."""
+    if legacy:
+        from ..core.coders import LegacyDeltaXYWHBBoxCoder
+        coder = LegacyDeltaXYWHBBoxCoder(target_means, target_stds)
+        encode = coder.encode
+    else:
+        def encode(a, g):
+            return bbox2delta(a, g, target_means, target_stds)
     b = cls_scores[0].shape[0]
     flat_cls = jnp.concatenate(
         [c.reshape(b, -1, num_classes) for c in cls_scores], 1)
@@ -155,6 +170,46 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
     if anchor_valid.ndim == 1:
         anchor_valid = jnp.broadcast_to(anchor_valid[None],
                                         (b, anchor_valid.shape[0]))
+
+    if cls_loss_type == 'ghmc' or reg_loss_type == 'ghmr':
+        from .losses import ghm_c_loss, ghm_r_loss
+
+        def targets(gts, glabels, gvalid, av):
+            assign = assigner(anchors, av, gts, gvalid, glabels)
+            pos = assign.gt_inds > 0
+            include = pos | ((assign.gt_inds == 0) & av)
+            onehot = jax.nn.one_hot(
+                jnp.where(pos, assign.labels, num_classes),
+                num_classes + 1)[:, :num_classes]
+            gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
+            tgt = encode(anchors, gts[gt_idx])
+            return onehot, include, pos, tgt
+
+        onehot, include, pos, tgt = jax.vmap(targets)(
+            gt_boxes, gt_labels, gt_valid, anchor_valid)
+        c = num_classes
+        lw = jnp.broadcast_to(include[..., None],
+                              onehot.shape).reshape(-1, c)
+        if cls_loss_type == 'ghmc':
+            loss_cls = ghm_c_loss(flat_cls.reshape(-1, c),
+                                  onehot.reshape(-1, c), lw, ghm_c_bins)
+        else:
+            avg = jnp.maximum(jnp.sum(pos), 1.0)
+            loss_cls = jnp.sum(
+                _focal_elementwise(flat_cls, onehot, focal_gamma,
+                                   focal_alpha) *
+                include[..., None]) / avg
+        pw = jnp.broadcast_to(pos[..., None],
+                              tgt.shape).reshape(-1, 4).astype(jnp.float32)
+        if reg_loss_type == 'ghmr':
+            loss_bbox = ghm_r_loss(flat_reg.reshape(-1, 4),
+                                   tgt.reshape(-1, 4), pw, ghm_mu, ghm_r_bins)
+        else:
+            avg = jnp.maximum(jnp.sum(pos), 1.0)
+            loss_bbox = jnp.sum(jnp.abs(flat_reg - tgt) *
+                                pos[..., None]) / avg
+        return {'loss_cls': loss_cls_weight * loss_cls,
+                'loss_bbox': loss_bbox_weight * loss_bbox}
 
     def single(cls_s, reg_s, gts, glabels, gvalid, av):
         assign = assigner(anchors, av, gts, gvalid, glabels)
@@ -167,7 +222,7 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
             _focal_elementwise(cls_s, onehot, focal_gamma, focal_alpha) *
             include[:, None])
         gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
-        tgt = bbox2delta(anchors, gts[gt_idx], target_means, target_stds)
+        tgt = encode(anchors, gts[gt_idx])
         reg_l = jnp.sum(jnp.abs(reg_s - tgt) * pos[:, None])
         return cls_l, reg_l, jnp.sum(pos)
 
@@ -194,7 +249,7 @@ def anchor_head_get_dets(cls_scores, bbox_preds, mlvl_anchors, img_shapes,
                          target_stds=(1., 1., 1., 1.),
                          nms_pre: int = 1000, score_thr: float = 0.05,
                          iou_threshold: float = 0.5, max_per_img: int = 100,
-                         rescale: bool = True):
+                         rescale: bool = True, legacy: bool = False):
     """anchor_head.py:get_bboxes — per-level topk by max-class score, decode,
     multiclass NMS."""
     b = cls_scores[0].shape[0]
@@ -207,7 +262,13 @@ def anchor_head_get_dets(cls_scores, bbox_preds, mlvl_anchors, img_shapes,
         sel_scores = jnp.take_along_axis(scores, top_i[..., None], 1)
         sel_deltas = jnp.take_along_axis(deltas, top_i[..., None], 1)
         sel_anchors = anc[top_i]
-        boxes = delta2bbox(sel_anchors, sel_deltas, target_means, target_stds)
+        if legacy:
+            from ..core.coders import LegacyDeltaXYWHBBoxCoder
+            boxes = LegacyDeltaXYWHBBoxCoder(
+                target_means, target_stds).decode(sel_anchors, sel_deltas)
+        else:
+            boxes = delta2bbox(sel_anchors, sel_deltas, target_means,
+                               target_stds)
         boxes = jax.vmap(clip_boxes)(boxes, img_shapes)
         lvl_boxes.append(boxes)
         lvl_scores.append(sel_scores)
@@ -244,6 +305,16 @@ class SingleStageDetector(nn.Module):
     min_pos_iou: float = 0.0
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
+    # loss selection (configs/ghm swaps focal/L1 for GHM-C/GHM-R)
+    cls_loss_type: str = 'focal'
+    reg_loss_type: str = 'l1'
+    ghm_c_bins: int = 30
+    ghm_r_bins: int = 10
+    ghm_mu: float = 0.02
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    # configs/legacy_1.x: v1.x anchors ((stride-1)/2 centers) and +1-wh coder
+    legacy: bool = False
     # test
     nms_pre: int = 1000
     score_thr: float = 0.05
@@ -251,6 +322,13 @@ class SingleStageDetector(nn.Module):
     max_per_img: int = 100
 
     def _anchor_generator(self):
+        if self.legacy:
+            from ..core.anchors import LegacyAnchorGenerator
+            return LegacyAnchorGenerator(
+                strides=self.anchor_strides, ratios=self.anchor_ratios,
+                octave_base_scale=self.anchor_octave_base_scale,
+                scales_per_octave=self.anchor_scales_per_octave,
+                center_offset=0.5)
         return AnchorGenerator(
             strides=self.anchor_strides, ratios=self.anchor_ratios,
             octave_base_scale=self.anchor_octave_base_scale,
@@ -283,7 +361,13 @@ class SingleStageDetector(nn.Module):
                            match_low_quality=True),
             self.target_means, self.target_stds,
             self.focal_gamma, self.focal_alpha,
-            anchor_valid=anchor_valid)
+            loss_cls_weight=self.loss_cls_weight,
+            loss_bbox_weight=self.loss_bbox_weight,
+            anchor_valid=anchor_valid,
+            cls_loss_type=self.cls_loss_type,
+            reg_loss_type=self.reg_loss_type,
+            ghm_c_bins=self.ghm_c_bins, ghm_r_bins=self.ghm_r_bins,
+            ghm_mu=self.ghm_mu, legacy=self.legacy)
 
     def simple_test(self, batch, rescale: bool = True):
         feats = self.extract_feat(batch['image'], train=False)
@@ -294,7 +378,8 @@ class SingleStageDetector(nn.Module):
             cls_scores, bbox_preds, mlvl, batch['img_shape'],
             batch['scale_factor'], self.num_classes,
             self.target_means, self.target_stds, self.nms_pre,
-            self.score_thr, self.nms_iou_thr, self.max_per_img, rescale)
+            self.score_thr, self.nms_iou_thr, self.max_per_img, rescale,
+            legacy=self.legacy)
         return {'dets': dets, 'labels': labels, 'det_valid': valid}
 
 

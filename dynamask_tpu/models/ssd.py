@@ -181,12 +181,35 @@ class SSD(nn.Module):
     score_thr: float = 0.02
     nms_iou_thr: float = 0.45
     max_per_img: int = 200
+    # configs/legacy_1.x: v1.x SSD anchors ((stride-1)/2 centers) + coder
+    legacy: bool = False
 
     def _anchor_generator(self) -> SSDAnchorGenerator:
+        if self.legacy:
+            from ..core.anchors import LegacySSDAnchorGenerator
+            return LegacySSDAnchorGenerator(
+                strides=self.strides, ratios=self.ratios,
+                basesize_ratio_range=self.basesize_ratio_range,
+                input_size=self.input_size, scale_major=False)
         return SSDAnchorGenerator(
             strides=self.strides, ratios=self.ratios,
             basesize_ratio_range=self.basesize_ratio_range,
             input_size=self.input_size, scale_major=False)
+
+    def _encode(self, anchors, gts):
+        if self.legacy:
+            from ..core.coders import LegacyDeltaXYWHBBoxCoder
+            return LegacyDeltaXYWHBBoxCoder(
+                self.target_means, self.target_stds).encode(anchors, gts)
+        return bbox2delta(anchors, gts, self.target_means, self.target_stds)
+
+    def _decode(self, anchors, deltas):
+        if self.legacy:
+            from ..core.coders import LegacyDeltaXYWHBBoxCoder
+            return LegacyDeltaXYWHBBoxCoder(
+                self.target_means, self.target_stds).decode(anchors, deltas)
+        return delta2bbox(anchors, deltas, self.target_means,
+                          self.target_stds)
 
     def extract_feat(self, images, train=False):
         return self.backbone(images, train=train)
@@ -235,8 +258,7 @@ class SSD(nn.Module):
             cls_l = jnp.sum(ce * pos) + jnp.sum(ce * keep_neg)
 
             gt_idx = jnp.clip(assign.gt_inds - 1, 0, gts.shape[0] - 1)
-            tgt = bbox2delta(anchors, gts[gt_idx], self.target_means,
-                             self.target_stds)
+            tgt = self._encode(anchors, gts[gt_idx])
             reg_l = jnp.sum(smooth_l1(reg_s - tgt, self.smoothl1_beta) *
                             pos[:, None])
             return cls_l, reg_l, num_pos
@@ -275,8 +297,7 @@ class SSD(nn.Module):
                 anc_sel = anc[top_i]
             else:
                 anc_sel = jnp.broadcast_to(anc[None], (b,) + anc.shape)
-            boxes = jax.vmap(lambda a, r: delta2bbox(
-                a, r, self.target_means, self.target_stds))(anc_sel, reg)
+            boxes = jax.vmap(self._decode)(anc_sel, reg)
             lvl_boxes.append(boxes)
             lvl_scores.append(scores[..., :-1])   # strip background
         all_boxes = jnp.concatenate(lvl_boxes, 1)

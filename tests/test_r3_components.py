@@ -275,6 +275,44 @@ class TestPISASingleStage:
 
 
 @pytest.mark.slow
+class TestGHMAndLegacy:
+    def _train(self, path):
+        from dynamask_tpu.utils.config import Config
+        from dynamask_tpu.models import build_detector, parse_losses
+        from test_models import demo_batch
+        cfg = Config.fromfile(os.path.join(os.path.dirname(__file__), '..',
+                                           path))
+        cfg.model['backbone']['depth'] = 18
+        cfg.model['bbox_head']['num_classes'] = 8
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+        batch = demo_batch(0, b=1, h=128, w=128, g=4)
+        v = jax.jit(det.init)({'params': jax.random.PRNGKey(0)}, batch)
+        losses, _ = det.apply(v, batch, method='forward_train',
+                              mutable=['batch_stats'])
+        total, _ = parse_losses(losses)
+        assert np.isfinite(float(total)), losses
+        return det, v, batch
+
+    def test_ghm_retinanet(self):
+        det, _, _ = self._train('configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py')
+        assert det.cls_loss_type == 'ghmc' and det.reg_loss_type == 'ghmr'
+
+    def test_legacy_retinanet(self):
+        det, v, batch = self._train(
+            'configs/legacy_1.x/retinanet_r50_fpn_1x_coco_v1.py')
+        assert det.legacy
+        out = det.apply(v, batch, method='simple_test')
+        assert np.isfinite(np.asarray(out['dets'])).all()
+        # legacy base anchors differ from v2 (centers at (stride-1)/2)
+        from dynamask_tpu.core.anchors import AnchorGenerator
+        legacy = det._anchor_generator()
+        stock = AnchorGenerator(strides=det.anchor_strides,
+                                ratios=det.anchor_ratios,
+                                octave_base_scale=4, scales_per_octave=3)
+        assert not np.allclose(legacy.base_anchors[0], stock.base_anchors[0])
+
+
+@pytest.mark.slow
 class TestDetectoRSResNeXt:
     def test_grouped_forward(self):
         from dynamask_tpu.models.builder import build_backbone
