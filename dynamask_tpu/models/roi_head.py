@@ -95,6 +95,8 @@ class StandardRoIHead(nn.Module):
         if self.mask_head is not None:
             mask_feats = self._extract(feats, rois, roi_batch,
                                        self.mask_roi_out)
+            if self.shared_head is not None:
+                mask_feats = self.shared_head(mask_feats, train=train)
             out = out + (self.mask_head(mask_feats, train=train),)
         return out
 

@@ -123,6 +123,17 @@ class TestHookedDetectors:
                  position='after_conv3'))
         self._train_losses(cfg, demo_batch(0, b=1, h=128, w=128, g=4))
 
+    def test_c4_mask_rcnn_trains(self):
+        from test_models import demo_batch
+        cfg = _cfg('mask_rcnn/mask_rcnn_r50_caffe_c4_1x_coco.py')
+        cfg.train_cfg.rpn_proposal.update(nms_pre=128, nms_post=64,
+                                          max_num=64)
+        cfg.train_cfg.rcnn.sampler['num'] = 32
+        batch = demo_batch(0, b=1, h=128, w=128, g=4)
+        det, variables = self._train_losses(cfg, batch)
+        assert det.roi_head.mask_head is not None
+        assert det.roi_head.shared_head is not None
+
     def test_c4_faster_rcnn_train_and_test(self):
         from test_models import demo_batch
         from dynamask_tpu.models import build_detector
