@@ -1,0 +1,6 @@
+# (reference: configs/gfl/gfl_r101_fpn_dconv_c3-c5_mstrain_2x_coco.py — same recipe, this framework's schema)
+_base_ = './gfl_r50_fpn_mstrain_2x_coco.py'
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101,
+                           dcn=dict(type='DCN', deform_groups=1),
+                           stage_with_dcn=(False, True, True, True)))

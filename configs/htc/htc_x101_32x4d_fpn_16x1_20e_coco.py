@@ -1,0 +1,9 @@
+# (reference: configs/htc/htc_x101_32x4d_fpn_16x1_20e_coco.py — same recipe, this framework's schema)
+_base_ = './htc_r50_fpn_1x_coco.py'
+model = dict(
+    pretrained='open-mmlab://resnext101_32x4d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32,
+                  base_width=4))
+data = dict(samples_per_gpu=1, workers_per_gpu=1)
+lr_config = dict(step=[16, 19])
+total_epochs = 20

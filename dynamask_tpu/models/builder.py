@@ -1079,7 +1079,8 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
         rpn_sampler = _cfg(rpn_train.get('sampler'))
         return RPN(
             backbone=build_backbone(cfg['backbone']),
-            neck=build_neck(cfg['neck']), rpn_head=rpn_head,
+            neck=build_neck(cfg['neck']) if cfg.get('neck') else None,
+            rpn_head=rpn_head,
             anchor_scales=tuple(anchor_cfg.get('scales', (8,))),
             anchor_ratios=tuple(anchor_cfg.get('ratios', (0.5, 1.0, 2.0))),
             anchor_strides=tuple(anchor_cfg.get('strides',

@@ -317,6 +317,8 @@ class RPN(nn.Module):
 
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
         feats = self.backbone(images, train=train)
+        if self.neck is None:  # C4 proposal-only (reference rpn_r50_caffe_c4)
+            return feats
         from .necks_extra import RFP
         if isinstance(self.neck, RFP):
             # recursive feature pyramid needs the image for its backbone
