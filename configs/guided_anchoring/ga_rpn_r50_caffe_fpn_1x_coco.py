@@ -1,20 +1,14 @@
-# (reference: configs/mask_rcnn/mask_rcnn_r50_caffe_fpn_poly_1x_coco_v1.py — same recipe, this framework's schema)
-_base_ = './mask_rcnn_r50_fpn_1x_coco.py'
+# (reference: configs/guided_anchoring/ga_rpn_r50_caffe_fpn_1x_coco.py — same recipe, this framework's schema)
+_base_ = './ga_rpn_r50_fpn_1x_coco.py'
 model = dict(
     pretrained='open-mmlab://detectron2/resnet50_caffe',
     backbone=dict(norm_cfg=dict(requires_grad=False),
-                  style='caffe'),
-    # v1.x loss quirks (reference keeps SmoothL1 beta=1/9 on RPN)
-    rpn_head=dict(loss_bbox=dict(type='SmoothL1Loss', beta=0.1111,
-                                 loss_weight=1.0)),
-    roi_head=dict(bbox_head=dict(loss_bbox=dict(
-        type='SmoothL1Loss', beta=1.0, loss_weight=1.0))))
+                  style='caffe'))
 img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
                     std=[1.0, 1.0, 1.0], to_rgb=False)
 train_pipeline = [
     dict(type='LoadImageFromFile'),
-    dict(type='LoadAnnotations', with_bbox=True, with_mask=True,
-         poly2mask=False),
+    dict(type='LoadAnnotations', with_bbox=True),
     dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
     dict(type='RandomFlip', flip_ratio=0.5),
     dict(type='Normalize', **img_norm_cfg),

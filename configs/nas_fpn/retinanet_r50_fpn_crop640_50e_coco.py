@@ -1,0 +1,13 @@
+# (reference: configs/nas_fpn/retinanet_r50_fpn_crop640_50e_coco.py — same recipe, this framework's schema)
+_base_ = './retinanet_r50_nasfpn_crop640_50e_coco.py'
+# plain-FPN twin of the NAS-FPN crop640 recipe
+model = dict(
+    neck=dict(
+        _delete_=True,
+        type='FPN', in_channels=[256, 512, 1024, 2048],
+        out_channels=256, start_level=1,
+        add_extra_convs='on_input', num_outs=5,
+        relu_before_extra_convs=True, no_norm_on_lateral=True,
+        norm_cfg=dict(type='BN', requires_grad=True)),
+    bbox_head=dict(type='RetinaSepBNHead', num_ins=5,
+                   norm_cfg=dict(type='BN', requires_grad=True)))

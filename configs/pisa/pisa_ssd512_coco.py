@@ -1,0 +1,5 @@
+# (reference: configs/pisa/pisa_ssd512_coco.py — same recipe, this framework's schema)
+_base_ = '../ssd/ssd512_coco.py'
+model = dict(bbox_head=dict(type='PISASSDHead'))
+train_cfg = dict(isr=dict(k=2.0, bias=0.0),
+                 carl=dict(k=1.0, bias=0.2))

@@ -1,0 +1,5 @@
+# (reference: configs/reppoints/reppoints_moment_r101_fpn_dconv_c3-c5_gn-neck+head_2x_coco.py — same recipe, this framework's schema)
+_base_ = './reppoints_moment_r101_fpn_gn-neck+head_2x_coco.py'
+model = dict(backbone=dict(
+    dcn=dict(type='DCN', deform_groups=1),
+    stage_with_dcn=(False, True, True, True)))

@@ -101,6 +101,16 @@ def build_backbone(cfg: dict):
         from .regnet import RegNet
         cfg.pop('norm_cfg', None)
         cfg.pop('style', None)
+        dcn = _cfg(cfg.pop('dcn', None))
+        stage_with_dcn = cfg.pop('stage_with_dcn', None)
+        if dcn:
+            cfg['stage_with_dcn'] = tuple(
+                stage_with_dcn if stage_with_dcn is not None
+                else (False, True, True, True))
+            cfg['dcn_deform_groups'] = dcn.get(
+                'deform_groups', dcn.get('deformable_groups', 1))
+            cfg['dcn_modulated'] = 'v2' in str(dcn.get('type',
+                                                       'DCNv2')).lower()
         cfg['out_indices'] = tuple(cfg.get('out_indices', (0, 1, 2, 3)))
         return RegNet(**cfg)
     if t in ('DetectoRS_ResNet', 'DetectoRS_ResNeXt'):
@@ -146,7 +156,8 @@ def build_neck(cfg: dict):
     if t == 'HRFPN':
         from .hrnet import HRFPN
         return HRFPN(out_channels=cfg.get('out_channels', 256),
-                     num_outs=cfg.get('num_outs', 5))
+                     num_outs=cfg.get('num_outs', 5),
+                     stride=cfg.get('stride', 1))
     if t == 'BFP':
         from .necks_extra import BFP
         return BFP(in_channels=cfg.get('in_channels', 256),
@@ -201,6 +212,8 @@ def build_neck(cfg: dict):
     if norm_cfg.get('type') == 'GN':
         cfg['norm'] = 'gn'
         cfg['gn_groups'] = norm_cfg.get('num_groups', 32)
+    elif norm_cfg.get('type') in ('BN', 'SyncBN'):
+        cfg['norm'] = 'bn'
     return cls(**cfg)
 
 

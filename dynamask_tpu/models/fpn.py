@@ -29,13 +29,20 @@ class FPN(nn.Module):
     extra_convs_on_inputs: bool = True
     relu_before_extra_convs: bool = False
     # norm_cfg=GN (configs/gn; reference fpn.py builds ConvModule with
-    # norm_cfg — bias dropped when a norm follows)
+    # norm_cfg — bias dropped when a norm follows). 'bn' covers the
+    # crop640/NAS-FPN recipes (norm_cfg=BN on the FPN convs).
     norm: Union[str, None] = None
     gn_groups: int = 32
+    no_norm_on_lateral: bool = False
 
-    def _n(self, x, name):
+    def _n(self, x, name, train: bool = False, lateral: bool = False):
+        if self.norm is None or (lateral and self.no_norm_on_lateral):
+            return x
         if self.norm == 'gn':
             return nn.GroupNorm(num_groups=self.gn_groups, name=name)(x)
+        if self.norm == 'bn':
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name)(x)
         return x
 
     @nn.compact
@@ -49,7 +56,8 @@ class FPN(nn.Module):
         laterals = [
             self._n(nn.Conv(self.out_channels, (1, 1),
                             kernel_init=_xavier_uniform, use_bias=use_bias,
-                            name=f'lateral_{i}')(used[i]), f'lateral_gn_{i}')
+                            name=f'lateral_{i}')(used[i]), f'lateral_gn_{i}',
+                    train=train, lateral=True)
             for i in range(num_laterals)
         ]
         # top-down pathway (nearest upsample; fpn.py:152-156)
@@ -64,7 +72,7 @@ class FPN(nn.Module):
                             padding=[(1, 1), (1, 1)],
                             kernel_init=_xavier_uniform, use_bias=use_bias,
                             name=f'fpn_conv_{i}')(laterals[i]),
-                    f'fpn_gn_{i}')
+                    f'fpn_gn_{i}', train=train)
             for i in range(num_laterals)
         ]
 

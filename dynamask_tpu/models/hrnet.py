@@ -211,6 +211,9 @@ class HRFPN(nn.Module):
 
     out_channels: int = 256
     num_outs: int = 5
+    # stride=2 shifts the whole pyramid one octave down (strides 8..128),
+    # the FCOS-HRNet recipe (reference necks/hrfpn.py `stride` arg)
+    stride: int = 1
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
@@ -226,6 +229,7 @@ class HRFPN(nn.Module):
             levels.append(avg_pool(x, 2 ** i, 2 ** i, padding=0))
         return tuple(
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    strides=(self.stride, self.stride),
                     kernel_init=kaiming_normal_fan_out(),
                     name=f'fpn_conv_{i}')(lvl)
             for i, lvl in enumerate(levels))

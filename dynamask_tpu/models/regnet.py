@@ -82,6 +82,42 @@ class RegNetBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     norm_eval: bool = True
+    # mdconv variant (reference regnet mdconv configs): replace the grouped
+    # 3x3 with a modulated deformable conv. The group structure is kept by
+    # assembling a block-diagonal dense kernel, so the single large deform
+    # gather/matmul stays MXU-friendly instead of g small ones.
+    dcn: bool = False
+    dcn_modulated: bool = True
+    dcn_deform_groups: int = 1
+
+    def _dcn3x3(self, out):
+        from ..ops.deform_conv import deform_conv2d
+        k, g = 3, self.groups
+        dg = self.dcn_deform_groups
+        n_off = dg * 2 * k * k
+        n_extra = dg * k * k if self.dcn_modulated else 0
+        off = nn.Conv(n_off + n_extra, (k, k), strides=(self.stride,) * 2,
+                      padding=[(1, 1), (1, 1)],
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name='conv2_offset')(out)
+        cin = out.shape[-1]
+        cin_g, cout_g = cin // g, self.bottleneck_width // g
+        wg = self.param('conv2_weight', kaiming_normal_fan_out(),
+                        (g, k, k, cin_g, cout_g))
+        w = jnp.zeros((k, k, cin, self.bottleneck_width), wg.dtype)
+        for gi in range(g):
+            w = w.at[:, :, gi * cin_g:(gi + 1) * cin_g,
+                     gi * cout_g:(gi + 1) * cout_g].set(wg[gi])
+        if self.dcn_modulated:
+            offsets = off[..., :n_off]
+            mask = jax.nn.sigmoid(off[..., n_off:])
+        else:
+            offsets, mask = off, None
+        return deform_conv2d(out, offsets, w, kernel_size=k,
+                             stride=self.stride, padding=1, dilation=1,
+                             deform_groups=dg, window=None, roi_chunk=0,
+                             mask=mask)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,11 +131,15 @@ class RegNetBlock(nn.Module):
         out = nn.Conv(self.bottleneck_width, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
         out = nn.relu(bn('bn1')(out))
-        out = nn.Conv(self.bottleneck_width, (3, 3),
-                      strides=(self.stride,) * 2, padding=[(1, 1), (1, 1)],
-                      feature_group_count=self.groups, use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(),
-                      name='conv2')(out)
+        if self.dcn:
+            out = self._dcn3x3(out)
+        else:
+            out = nn.Conv(self.bottleneck_width, (3, 3),
+                          strides=(self.stride,) * 2,
+                          padding=[(1, 1), (1, 1)],
+                          feature_group_count=self.groups, use_bias=False,
+                          kernel_init=kaiming_normal_fan_out(),
+                          name='conv2')(out)
         out = nn.relu(bn('bn2')(out))
         out = nn.Conv(self.width, (1, 1), use_bias=False,
                       kernel_init=kaiming_normal_fan_out(),
@@ -126,6 +166,9 @@ class RegNet(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = True
     block_remat: bool = True
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
+    dcn_deform_groups: int = 1
 
     def _layout(self):
         arch = (ARCH_SETTINGS[self.arch] if isinstance(self.arch, str)
@@ -166,6 +209,9 @@ class RegNet(nn.Module):
                 x = block(width=w, bottleneck_width=bw, groups=g,
                           stride=self.strides[si] if first else 1,
                           downsample=first, norm_eval=self.norm_eval,
+                          dcn=bool(self.stage_with_dcn[si]),
+                          dcn_modulated=self.dcn_modulated,
+                          dcn_deform_groups=self.dcn_deform_groups,
                           name=f'layer{si + 1}_block{bi}')(x, train)
             if si + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
