@@ -1,0 +1,4 @@
+# (reference: configs/foveabox/fovea_align_r101_fpn_gn-head_4x4_2x_coco.py — same recipe, this framework's schema)
+_base_ = './fovea_align_r50_fpn_gn-head_4x4_2x_coco.py'
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101))

@@ -105,14 +105,20 @@ class BBoxTargets(NamedTuple):
 
 
 def bbox_targets_from_sample(sample: SamplingResult, num_classes: int,
-                             target_means, target_stds) -> BBoxTargets:
+                             target_means, target_stds,
+                             reg_decoded_bbox: bool = False) -> BBoxTargets:
     """Per-image box targets over the fixed sample slots
-    (reference bbox_head.py:get_targets/_get_target_single)."""
+    (reference bbox_head.py:get_targets/_get_target_single).
+    ``reg_decoded_bbox`` stores the raw target boxes instead of encoded
+    deltas (reference: IoU-family losses with bbox_coder bypassed)."""
     pos = sample.is_pos & sample.valid
     labels = jnp.where(pos, sample.labels, num_classes).astype(jnp.int32)
     label_weights = sample.valid.astype(jnp.float32)
-    deltas = bbox2delta(sample.boxes, sample.target_boxes,
-                        target_means, target_stds)
+    if reg_decoded_bbox:
+        deltas = sample.target_boxes
+    else:
+        deltas = bbox2delta(sample.boxes, sample.target_boxes,
+                            target_means, target_stds)
     bbox_weights = pos.astype(jnp.float32)
     bbox_targets = deltas * bbox_weights[:, None]
     return BBoxTargets(labels, label_weights, bbox_targets, bbox_weights)
@@ -124,10 +130,20 @@ def bbox_head_loss(cls_logits: jnp.ndarray,
                    num_classes: int,
                    reg_class_agnostic: bool = False,
                    loss_cls_weight: float = 1.0,
-                   loss_bbox_weight: float = 1.0):
+                   loss_bbox_weight: float = 1.0,
+                   reg_loss_type: str = 'l1',
+                   reg_decoded_bbox: bool = False,
+                   rois: jnp.ndarray = None,
+                   target_means=(0., 0., 0., 0.),
+                   target_stds=(0.1, 0.1, 0.2, 0.2),
+                   smoothl1_beta: float = 1.0):
     """Reference normalization (bbox_head.py:loss): CE averaged over sampled
-    RoIs; L1 on positive RoIs' per-class delta slice, averaged by the total
-    target count."""
+    RoIs; the regression loss on positive RoIs' per-class delta slice,
+    averaged by the total target count. ``reg_loss_type`` selects the
+    regression loss the config named (L1 / SmoothL1 / BalancedL1 / the
+    IoU family with ``reg_decoded_bbox``)."""
+    from .losses import (smooth_l1_loss, balanced_l1_loss, iou_loss,
+                         bounded_iou_loss)
     avg = jnp.sum(targets.label_weights)
     loss_cls = softmax_cross_entropy(cls_logits, targets.labels,
                                      targets.label_weights, avg)
@@ -141,8 +157,30 @@ def bbox_head_loss(cls_logits: jnp.ndarray,
         safe = jnp.clip(targets.labels, 0, num_classes - 1)
         pred = jnp.take_along_axis(per_cls, safe[:, None, None].repeat(4, -1),
                                    axis=1)[:, 0]
-    loss_bbox = l1_loss(pred, targets.bbox_targets,
-                        targets.bbox_weights[:, None], avg)
+    if reg_decoded_bbox:
+        assert rois is not None
+        pred = delta2bbox(rois, pred, target_means, target_stds)
+    w = targets.bbox_weights
+    if reg_loss_type in ('giou', 'iou', 'bounded_iou'):
+        # per-box loss (1 value per RoI) — weight is (N,), avg matches the
+        # reference's avg_factor = bbox_targets.size(0)
+        if reg_loss_type == 'bounded_iou':
+            loss_bbox = bounded_iou_loss(pred, targets.bbox_targets,
+                                         weight=w[:, None], avg_factor=avg)
+        else:
+            mode = 'giou' if reg_loss_type == 'giou' else 'linear_iou'
+            loss_bbox = iou_loss(pred, targets.bbox_targets, mode=mode,
+                                 weight=w, avg_factor=avg)
+    elif reg_loss_type == 'smooth_l1':
+        loss_bbox = smooth_l1_loss(pred, targets.bbox_targets,
+                                   beta=smoothl1_beta, weight=w[:, None],
+                                   avg_factor=avg)
+    elif reg_loss_type == 'balanced_l1':
+        loss_bbox = balanced_l1_loss(pred, targets.bbox_targets,
+                                     beta=smoothl1_beta, weight=w[:, None],
+                                     avg_factor=avg)
+    else:
+        loss_bbox = l1_loss(pred, targets.bbox_targets, w[:, None], avg)
     return {'loss_cls': loss_cls_weight * loss_cls,
             'loss_bbox': loss_bbox_weight * loss_bbox,
             'acc': acc}
@@ -160,7 +198,10 @@ def bbox_head_get_dets(rois: jnp.ndarray,
                        iou_threshold: float = 0.5,
                        max_per_img: int = 100,
                        rescale: bool = True,
-                       reg_class_agnostic: bool = False):
+                       reg_class_agnostic: bool = False,
+                       nms_type: str = 'nms',
+                       soft_sigma: float = 0.5,
+                       soft_min_score: float = 1e-3):
     """Decode + multiclass NMS for one image (bbox_head.py:get_bboxes)."""
     # force_fp32 boundary (core/fp16.py policy)
     cls_logits = cls_logits.astype(jnp.float32)
@@ -179,5 +220,6 @@ def bbox_head_get_dets(rois: jnp.ndarray,
     flat = boxes.reshape(rois.shape[0], -1)
     dets, labels, valid = multiclass_nms(
         flat if not reg_class_agnostic else boxes[:, 0],
-        scores, score_thr, iou_threshold, max_per_img, valid=roi_valid)
+        scores, score_thr, iou_threshold, max_per_img, valid=roi_valid,
+        nms_type=nms_type, sigma=soft_sigma, min_score=soft_min_score)
     return dets, labels, valid

@@ -316,10 +316,40 @@ def build_roi_head(cfg: dict, train_cfg: dict, test_cfg: dict):
         target_stds=tuple(coder.get('target_stds', (0.1, 0.1, 0.2, 0.2))),
         loss_cls_weight=loss_cls.get('loss_weight', 1.0),
         loss_bbox_weight=loss_bbox.get('loss_weight', 1.0),
+        # named regression loss + reg_decoded_bbox (reference bbox_head.py
+        # builds loss_bbox from the registry; IoU-family losses pair with
+        # reg_decoded_bbox=True)
+        reg_loss_type={'L1Loss': 'l1', 'SmoothL1Loss': 'smooth_l1',
+                       'BalancedL1Loss': 'balanced_l1', 'GIoULoss': 'giou',
+                       'IoULoss': 'iou', 'BoundedIoULoss': 'bounded_iou',
+                       }.get(loss_bbox.get('type', 'L1Loss'), 'l1'),
+        reg_decoded_bbox=bool(head_cfg.get('reg_decoded_bbox', False)),
+        smoothl1_beta=loss_bbox.get('beta', 1.0),
         score_thr=rcnn_test.get('score_thr', 0.05),
         nms_iou_thr=_cfg(rcnn_test.get('nms')).get('iou_threshold', 0.5),
         max_per_img=rcnn_test.get('max_per_img', 100),
+        nms_type=_cfg(rcnn_test.get('nms')).get('type', 'nms'),
+        soft_sigma=_cfg(rcnn_test.get('nms')).get('sigma', 0.5),
+        soft_min_score=_cfg(rcnn_test.get('nms')).get('min_score', 1e-3),
+        # GenericRoIExtractor (configs/groie) pools all levels, no routing
+        roi_extract_mode=(
+            'generic_' + bbox_extractor.get('aggregation', 'sum')
+            if bbox_extractor.get('type') == 'GenericRoIExtractor'
+            else 'single'),
     )
+    bbox_layer = _cfg(bbox_extractor.get('roi_layer'))
+    if bbox_layer.get('type') in ('DeformRoIPoolPack',
+                                  'ModulatedDeformRoIPoolPack',
+                                  'DeformRoIPoolingPack',
+                                  'ModulatedDeformRoIPoolingPack'):
+        from .roi_head import DeformRoIPoolPackExtractor
+        common['bbox_extractor_obj'] = DeformRoIPoolPackExtractor(
+            out_size=bbox_layer.get('output_size', 7),
+            featmap_strides=tuple(bbox_extractor.get(
+                'featmap_strides', (4, 8, 16, 32))),
+            trans_std=bbox_layer.get('trans_std', 0.1),
+            sample_per_part=bbox_layer.get('sample_per_part', 4),
+            modulated=bbox_layer['type'].startswith('Modulated'))
 
     if t in ('StandardRoIHead', 'MaskScoringRoIHead'):
         if cfg.get('shared_head'):
@@ -704,6 +734,10 @@ def build_single_stage(t: str, cfg: dict, train_cfg: dict, test_cfg: dict):
                      ghm_r_bins=loss_bbox.get('bins', 10),
                      ghm_mu=loss_bbox.get('mu', 0.02),
                      loss_bbox_weight=loss_bbox.get('loss_weight', 10.0))
+    if loss_bbox.get('type') == 'BalancedL1Loss':
+        # configs/libra_rcnn/libra_retinanet
+        extra.update(reg_loss_type='balanced_l1',
+                     loss_bbox_weight=loss_bbox.get('loss_weight', 1.0))
     if ht == 'PISARetinaHead':
         from .pisa import PISARetinaNet
         cls = PISARetinaNet
@@ -893,7 +927,9 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
             stacked_convs=hc.get('stacked_convs', 3),
             num_points=hc.get('num_points', 9),
             gradient_mul=hc.get('gradient_mul', 0.1),
-            use_gn=bool(hc.get('norm_cfg')))
+            use_gn=bool(hc.get('norm_cfg')),
+            use_grid_points=hc.get('use_grid_points', False),
+            point_base_scale=hc.get('point_base_scale', 4))
         tc = _cfg(test_cfg)
         trc = _cfg(train_cfg)
         init_c = _cfg(trc.get('init'))
@@ -906,6 +942,7 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                                        (8, 16, 32, 64, 128))),
             point_base_scale=hc.get('point_base_scale', 4),
             moment_mul=hc.get('moment_mul', 0.01),
+            transform_method=hc.get('transform_method', 'moment'),
             init_assign_scale=_cfg(init_c.get('assigner')).get('scale', 4),
             init_pos_num=_cfg(init_c.get('assigner')).get('pos_num', 1),
             refine_pos_iou=_cfg(refine_c.get('assigner')).get(
@@ -928,10 +965,15 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
         neck = build_neck(cfg['neck'])
         hc = _cfg(cfg['bbox_head'])
         assert hc.pop('type') == 'FoveaHead'
+        hnorm = _cfg(hc.get('norm_cfg'))
         head = FoveaHead(num_classes=hc.get('num_classes', 80),
                          in_channels=hc.get('in_channels', 256),
                          feat_channels=hc.get('feat_channels', 256),
-                         stacked_convs=hc.get('stacked_convs', 4))
+                         stacked_convs=hc.get('stacked_convs', 4),
+                         with_deform=hc.get('with_deform', False),
+                         deform_groups=hc.get('deform_groups', 4),
+                         norm='gn' if hnorm.get('type') == 'GN' else None,
+                         gn_groups=hnorm.get('num_groups', 32))
         tc = _cfg(test_cfg)
         return FOVEA(
             backbone=backbone, neck=neck, bbox_head=head,
@@ -1053,21 +1095,35 @@ def build_detector(model_cfg: dict, train_cfg: Optional[dict] = None,
                                    'num_groups', 32))
         else:
             assert ht == 'FCOSHead', ht
+            hnorm = _cfg(hc.get('norm_cfg'))
             head = FCOSHead(num_classes=hc.get('num_classes', 80),
                             in_channels=hc.get('in_channels', 256),
                             feat_channels=hc.get('feat_channels', 256),
                             stacked_convs=hc.get('stacked_convs', 4),
-                            strides=strides)
+                            strides=strides,
+                            norm='gn' if hnorm.get('type') == 'GN' else None,
+                            gn_groups=hnorm.get('num_groups', 32),
+                            centerness_on_reg=hc.get('centerness_on_reg',
+                                                     False),
+                            norm_on_bbox=hc.get('norm_on_bbox', False),
+                            dcn_on_last_conv=hc.get('dcn_on_last_conv',
+                                                    False))
         tc = _cfg(test_cfg)
         if t == 'NASFCOS':
             from .nasfcos import NASFCOS
             FCOS = NASFCOS
+        lb = _cfg(hc.get('loss_bbox'))
         return FCOS(backbone=backbone, neck=neck, bbox_head=head,
                     num_classes=hc.get('num_classes', 80), strides=strides,
                     regress_ranges=tuple(tuple(r) for r in hc.get(
                         'regress_ranges',
                         ((-1, 64), (64, 128), (128, 256), (256, 512),
                          (512, 1e8)))),
+                    center_sampling=hc.get('center_sampling', False),
+                    center_sample_radius=hc.get('center_sample_radius', 1.5),
+                    reg_loss_mode=('log_iou'
+                                   if lb.get('type') == 'IoULoss'
+                                   else 'giou'),
                     nms_pre=tc.get('nms_pre', 1000),
                     score_thr=tc.get('score_thr', 0.05),
                     nms_iou_thr=_cfg(tc.get('nms')).get('iou_threshold', 0.5),

@@ -105,7 +105,9 @@ class CascadeRoIHead(StandardRoIHead):
                                  for t in targets])
             sl = bbox_head_loss(cls_logits, bbox_deltas, flat,
                                 self.num_classes,
-                                reg_class_agnostic=head.reg_class_agnostic)
+                                reg_class_agnostic=head.reg_class_agnostic,
+                                reg_loss_type=self.reg_loss_type,
+                                smoothl1_beta=self.smoothl1_beta)
             w = self.stage_loss_weights[stage]
             losses[f's{stage}.loss_cls'] = w * sl['loss_cls']
             losses[f's{stage}.loss_bbox'] = w * sl['loss_bbox']

@@ -32,18 +32,34 @@ class FCOSHead(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # gn-head configs (reference FCOSHead norm_cfg=GN32); None = no norm
+    norm: str = None
+    gn_groups: int = 32
+    # centerness predicted from the regression branch (reference
+    # fcos_head.py `centerness_on_reg`, the "centeronreg" recipes)
+    centerness_on_reg: bool = False
+    # relu-activated (instead of exp) distance regression (reference
+    # `norm_on_bbox`). The reference also divides targets by stride during
+    # training; with a scale-invariant IoU-family loss the absolute-coord
+    # form used here is the same objective, so distances stay in absolute
+    # pixels on both paths.
+    norm_on_bbox: bool = False
+    # replace the last stacked conv of both towers with a deformable conv
+    # (reference `dcn_on_last_conv`, the "-dcn-" recipes)
+    dcn_on_last_conv: bool = False
+
+    def _tower_conv(self, i, branch):
+        if self.dcn_on_last_conv and i == self.stacked_convs - 1:
+            return None  # handled by _dcn_conv at call time
+        return nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       kernel_init=normal_init(0.01),
+                       name=f'{branch}_conv_{i}')
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
-                             padding=[(1, 1), (1, 1)],
-                             kernel_init=normal_init(0.01),
-                             name=f'cls_conv_{i}')
+        cls_convs = [self._tower_conv(i, 'cls')
                      for i in range(self.stacked_convs)]
-        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
-                             padding=[(1, 1), (1, 1)],
-                             kernel_init=normal_init(0.01),
-                             name=f'reg_conv_{i}')
+        reg_convs = [self._tower_conv(i, 'reg')
                      for i in range(self.stacked_convs)]
         conv_cls = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                            kernel_init=normal_init(0.01),
@@ -56,18 +72,55 @@ class FCOSHead(nn.Module):
                                   name='conv_centerness')
         scales = self.param('scales', nn.initializers.ones,
                             (len(self.strides),))
+        gns = {}
+        if self.norm == 'gn':
+            for br in ('cls', 'reg'):
+                for i in range(self.stacked_convs):
+                    gns[(br, i)] = nn.GroupNorm(num_groups=self.gn_groups,
+                                                name=f'{br}_gn_{i}')
+        dcn = {}
+        if self.dcn_on_last_conv:
+            from ..ops.deform_conv import deform_conv2d
+            for br in ('cls', 'reg'):
+                dcn[br] = (
+                    nn.Conv(18, (3, 3), padding=[(1, 1), (1, 1)],
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            name=f'{br}_dcn_offset'),
+                    self.param(f'{br}_dcn_weight', normal_init(0.01),
+                               (3, 3, self.feat_channels,
+                                self.feat_channels)))
+
+        def tower(x, convs, br):
+            from ..ops.deform_conv import deform_conv2d
+            for i, conv in enumerate(convs):
+                if conv is None:  # deformable last conv
+                    off_conv, w = dcn[br]
+                    x = deform_conv2d(x, off_conv(x), w, kernel_size=3,
+                                      stride=1, padding=1, dilation=1,
+                                      deform_groups=1, window=None,
+                                      roi_chunk=0)
+                else:
+                    x = conv(x)
+                if (br, i) in gns:
+                    x = gns[(br, i)](x)
+                x = nn.relu(x)
+            return x
+
         cls_out, reg_out, cent_out = [], [], []
         for lvl, x in enumerate(feats):
-            c = x
-            for conv in cls_convs:
-                c = nn.relu(conv(c))
-            r = x
-            for conv in reg_convs:
-                r = nn.relu(conv(r))
+            c = tower(x, cls_convs, 'cls')
+            r = tower(x, reg_convs, 'reg')
             cls_out.append(conv_cls(c))
-            cent_out.append(conv_centerness(c))
-            # exp(scale * reg): always positive distances (fcos_head.py)
-            reg = jnp.exp(conv_reg(r).astype(jnp.float32) * scales[lvl])
+            cent_out.append(conv_centerness(r if self.centerness_on_reg
+                                            else c))
+            raw = conv_reg(r).astype(jnp.float32) * scales[lvl]
+            if self.norm_on_bbox:
+                # relu activation (reference norm_on_bbox branch)
+                reg = nn.relu(raw)
+            else:
+                # exp(scale * reg): always positive distances (fcos_head.py)
+                reg = jnp.exp(raw)
             reg_out.append(reg * self.strides[lvl])
         return cls_out, reg_out, cent_out
 
@@ -83,8 +136,12 @@ def fcos_points(featmap_sizes, strides):
 
 
 def fcos_targets(points, regress_ranges, gt_boxes, gt_labels, gt_valid,
-                 num_classes):
-    """Per-image dense targets (fcos_head.py:_get_target_single)."""
+                 num_classes, point_strides=None,
+                 center_sample_radius: float = 1.5):
+    """Per-image dense targets (fcos_head.py:_get_target_single).
+    ``point_strides`` (K,) enables center sampling: positives must fall in
+    the radius*stride box around the GT center, clipped to the GT
+    (reference fcos_head.py center_sampling branch)."""
     k = points.shape[0]
     g = gt_boxes.shape[0]
     areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
@@ -99,7 +156,17 @@ def fcos_targets(points, regress_ranges, gt_boxes, gt_labels, gt_valid,
     bottom = gt_boxes[None, :, 3].reshape(1, g) - ys
     ltrb = jnp.stack([left, top, right, bottom], -1)   # (K, G, 4)
 
-    inside = jnp.min(ltrb, -1) > 0
+    if point_strides is not None:
+        r = point_strides[:, None] * center_sample_radius        # (K, 1)
+        cx = (gt_boxes[None, :, 0] + gt_boxes[None, :, 2]) * 0.5
+        cy = (gt_boxes[None, :, 1] + gt_boxes[None, :, 3]) * 0.5
+        x1 = jnp.maximum(cx - r, gt_boxes[None, :, 0])
+        y1 = jnp.maximum(cy - r, gt_boxes[None, :, 1])
+        x2 = jnp.minimum(cx + r, gt_boxes[None, :, 2])
+        y2 = jnp.minimum(cy + r, gt_boxes[None, :, 3])
+        inside = ((xs > x1) & (xs < x2) & (ys > y1) & (ys < y2))
+    else:
+        inside = jnp.min(ltrb, -1) > 0
     max_dist = jnp.max(ltrb, -1)
     in_range = (max_dist >= regress_ranges[:, 0:1]) & \
         (max_dist <= regress_ranges[:, 1:2])
@@ -132,6 +199,12 @@ class FCOS(nn.Module):
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     regress_ranges: Tuple[Tuple[float, float], ...] = (
         (-1, 64), (64, 128), (128, 256), (256, 512), (512, INF))
+    # center-sampling positives (reference fcos_head.py center_sampling)
+    center_sampling: bool = False
+    center_sample_radius: float = 1.5
+    # regression loss mode: 'giou' (center-* recipes) or 'log_iou'
+    # (reference IoULoss default)
+    reg_loss_mode: str = 'giou'
     # test
     nms_pre: int = 1000
     score_thr: float = 0.05
@@ -162,16 +235,23 @@ class FCOS(nn.Module):
                                    1)
         flat_cent = jnp.concatenate([c.reshape(b, -1) for c in cent_preds], 1)
 
+        pt_strides = jnp.concatenate([
+            jnp.full((p.shape[0],), float(s), jnp.float32)
+            for p, s in zip(pts, self.strides)], 0) \
+            if self.center_sampling else None
+
         def single(cls_s, reg_s, cent_s, gts, glabels, gvalid):
             labels, tgt_ltrb, cent_t, pos = fcos_targets(
-                all_pts, rr, gts, glabels, gvalid, self.num_classes)
+                all_pts, rr, gts, glabels, gvalid, self.num_classes,
+                point_strides=pt_strides,
+                center_sample_radius=self.center_sample_radius)
             onehot = jax.nn.one_hot(labels, self.num_classes + 1
                                     )[:, :self.num_classes]
             cls_l = jnp.sum(_focal_elementwise(cls_s, onehot, 2.0, 0.25))
             pred_boxes = distance2bbox(all_pts, reg_s)
             tgt_boxes = distance2bbox(all_pts, tgt_ltrb)
             w = pos.astype(jnp.float32) * cent_t
-            iou_l = iou_loss(pred_boxes, tgt_boxes, mode='giou',
+            iou_l = iou_loss(pred_boxes, tgt_boxes, mode=self.reg_loss_mode,
                              weight=w, avg_factor=jnp.sum(w))
             cent_l = jnp.sum(binary_cross_entropy_with_logits(
                 cent_s, cent_t) * pos)

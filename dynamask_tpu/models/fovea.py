@@ -35,26 +35,41 @@ INF = 1e8
 
 @HEADS.register_module()
 class FoveaHead(nn.Module):
-    """Plain conv towers; raw (log-space) 4-ch regression output
-    (fovea_head.py:65-121, with_deform=False branch)."""
+    """Conv towers; raw (log-space) 4-ch regression output
+    (fovea_head.py:65-121). ``with_deform`` adds the FeatureAlign step
+    (fovea_head.py FeatureAlign: a deform conv on the cls tower whose
+    offsets come from a 1x1 conv over exp(bbox_pred)) — the "align"
+    recipes, which also put GN in the towers."""
 
     num_classes: int = 80
     in_channels: int = 256
     feat_channels: int = 256
     stacked_convs: int = 4
+    with_deform: bool = False
+    deform_groups: int = 4
+    norm: str = None
+    gn_groups: int = 32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         cls_convs = [nn.Conv(self.feat_channels, (3, 3),
                              padding=[(1, 1), (1, 1)],
                              kernel_init=normal_init(0.01),
+                             use_bias=self.norm is None,
                              name=f'cls_conv_{i}')
                      for i in range(self.stacked_convs)]
         reg_convs = [nn.Conv(self.feat_channels, (3, 3),
                              padding=[(1, 1), (1, 1)],
                              kernel_init=normal_init(0.01),
+                             use_bias=self.norm is None,
                              name=f'reg_conv_{i}')
                      for i in range(self.stacked_convs)]
+        gns = {}
+        if self.norm == 'gn':
+            for br in ('cls', 'reg'):
+                for i in range(self.stacked_convs):
+                    gns[(br, i)] = nn.GroupNorm(num_groups=self.gn_groups,
+                                                name=f'{br}_gn_{i}')
         conv_cls = nn.Conv(self.num_classes, (3, 3),
                            padding=[(1, 1), (1, 1)],
                            kernel_init=normal_init(0.01),
@@ -62,16 +77,39 @@ class FoveaHead(nn.Module):
                            name='conv_cls')
         conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
                            kernel_init=normal_init(0.01), name='conv_reg')
+        if self.with_deform:
+            from ..ops.deform_conv import deform_conv2d
+            align_offset = nn.Conv(self.deform_groups * 18, (1, 1),
+                                   kernel_init=nn.initializers.zeros,
+                                   bias_init=nn.initializers.zeros,
+                                   name='feature_adaption_offset')
+            align_w = self.param('feature_adaption_weight', normal_init(0.1),
+                                 (3, 3, self.feat_channels,
+                                  self.feat_channels))
         cls_out, reg_out = [], []
         for x in feats:
             c = x
-            for conv in cls_convs:
-                c = nn.relu(conv(c))
+            for i, conv in enumerate(cls_convs):
+                c = conv(c)
+                if ('cls', i) in gns:
+                    c = gns[('cls', i)](c)
+                c = nn.relu(c)
             r = x
-            for conv in reg_convs:
-                r = nn.relu(conv(r))
+            for i, conv in enumerate(reg_convs):
+                r = conv(r)
+                if ('reg', i) in gns:
+                    r = gns[('reg', i)](r)
+                r = nn.relu(r)
+            reg = conv_reg(r)
+            if self.with_deform:
+                off = align_offset(jnp.exp(
+                    jax.lax.stop_gradient(reg).astype(jnp.float32)))
+                c = nn.relu(deform_conv2d(
+                    c, off, align_w, kernel_size=3, stride=1, padding=1,
+                    dilation=1, deform_groups=self.deform_groups,
+                    window=None, roi_chunk=0))
             cls_out.append(conv_cls(c))
-            reg_out.append(conv_reg(r))
+            reg_out.append(reg)
         return cls_out, reg_out
 
 

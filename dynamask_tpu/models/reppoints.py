@@ -45,6 +45,43 @@ def points2bbox_moment(pts_xy: jnp.ndarray, moment_transfer: jnp.ndarray,
                       mean[..., 0] + half_w, mean[..., 1] + half_h], -1)
 
 
+def points2bbox(pts_xy: jnp.ndarray, method: str = 'moment',
+                moment_transfer: jnp.ndarray = None,
+                moment_mul: float = 0.01) -> jnp.ndarray:
+    """All three reference point->box transforms (reppoints_head.py
+    points2bbox: 'minmax' / 'partial_minmax' (first 4 points) /
+    'moment')."""
+    if method == 'partial_minmax':
+        pts_xy = pts_xy[..., :4, :]
+    if method in ('minmax', 'partial_minmax'):
+        return jnp.concatenate([jnp.min(pts_xy, axis=-2),
+                                jnp.max(pts_xy, axis=-2)], -1)
+    assert method == 'moment', method
+    return points2bbox_moment(pts_xy, moment_transfer, moment_mul)
+
+
+def gen_grid_from_reg(reg: jnp.ndarray, prev_box: jnp.ndarray, k: int):
+    """Grid-points mode (reference reppoints_head.py gen_grid_from_reg):
+    a 4-ch regression [dx, dy, dlogw, dlogh] relative to ``prev_box``
+    yields a new box and a row-major k x k point grid inside it. Points
+    are returned y-first interleaved — the dcn-offset layout the head
+    uses. Shapes: reg (..., 4), prev_box (..., 4) -> (pts (..., 2*k*k),
+    box (..., 4))."""
+    bxy = (prev_box[..., :2] + prev_box[..., 2:]) * 0.5
+    bwh = jnp.maximum(prev_box[..., 2:] - prev_box[..., :2], 1e-6)
+    wh = bwh * jnp.exp(reg[..., 2:])
+    xy = bxy + bwh * reg[..., :2] - 0.5 * wh
+    ratio = jnp.linspace(0.0, 1.0, k)
+    gx = xy[..., 0:1] + ratio * wh[..., 0:1]          # (..., k)
+    gy = xy[..., 1:2] + ratio * wh[..., 1:2]
+    # row-major (y outer, x inner), y-first pairs
+    yy = jnp.repeat(gy, k, axis=-1)                   # (..., k*k)
+    xx = jnp.tile(gx, (1,) * (gx.ndim - 1) + (k,))
+    pts = jnp.stack([yy, xx], -1).reshape(yy.shape[:-1] + (2 * k * k,))
+    box = jnp.concatenate([xy, xy + wh], -1)
+    return pts, box
+
+
 @HEADS.register_module()
 class RepPointsHead(nn.Module):
     """Towers + pts-init branch + offset-conditioned DCN cls/refine
@@ -60,6 +97,10 @@ class RepPointsHead(nn.Module):
     gradient_mul: float = 0.1
     gn_groups: int = 32
     use_gn: bool = True
+    # grid-points mode (reference use_grid_points: 4-ch box regression,
+    # points are a k x k grid of the box — the "bbox_r50_grid" recipes)
+    use_grid_points: bool = False
+    point_base_scale: float = 4.0
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -89,7 +130,8 @@ class RepPointsHead(nn.Module):
                                 padding=[(1, 1), (1, 1)],
                                 kernel_init=normal_init(0.01),
                                 name='reppoints_pts_init_conv')
-        pts_init_out = nn.Conv(2 * self.num_points, (1, 1),
+        pts_out_dim = 4 if self.use_grid_points else 2 * self.num_points
+        pts_init_out = nn.Conv(pts_out_dim, (1, 1),
                                kernel_init=normal_init(0.01),
                                name='reppoints_pts_init_out')
         cls_dcn_w = self.param(
@@ -102,7 +144,7 @@ class RepPointsHead(nn.Module):
         refine_dcn_w = self.param(
             'reppoints_pts_refine_conv_kernel', normal_init(0.01),
             (k, k, self.feat_channels, self.point_feat_channels))
-        refine_out = nn.Conv(2 * self.num_points, (1, 1),
+        refine_out = nn.Conv(pts_out_dim, (1, 1),
                              kernel_init=normal_init(0.01),
                              name='reppoints_pts_refine_out')
 
@@ -122,6 +164,13 @@ class RepPointsHead(nn.Module):
                 r = nn.relu(r)
             pts_init = pts_init_out(nn.relu(pts_init_conv(r)))
             pts_init = pts_init.astype(jnp.float32)
+            bbox_init = None
+            if self.use_grid_points:
+                scale = self.point_base_scale / 2.0
+                prev = jnp.asarray([-scale, -scale, scale, scale],
+                                   jnp.float32)
+                prev = jnp.broadcast_to(prev, pts_init.shape[:-1] + (4,))
+                pts_init, bbox_init = gen_grid_from_reg(pts_init, prev, k)
             # straight-through gradient attenuation (reppoints_head.py:283)
             pts_mix = (1 - self.gradient_mul) * \
                 jax.lax.stop_gradient(pts_init) + \
@@ -131,8 +180,13 @@ class RepPointsHead(nn.Module):
                 c, dcn_offset, cls_dcn_w, kernel_size=k, padding=pad)))
             p_ref = refine_out(nn.relu(deform_conv2d(
                 r, dcn_offset, refine_dcn_w, kernel_size=k, padding=pad)))
-            p_ref = p_ref.astype(jnp.float32) + \
-                jax.lax.stop_gradient(pts_init)
+            if self.use_grid_points:
+                p_ref, _ = gen_grid_from_reg(
+                    p_ref.astype(jnp.float32),
+                    jax.lax.stop_gradient(bbox_init), k)
+            else:
+                p_ref = p_ref.astype(jnp.float32) + \
+                    jax.lax.stop_gradient(pts_init)
             cls_scores.append(c_out)
             pts_inits.append(pts_init)
             pts_refines.append(p_ref)
@@ -151,6 +205,9 @@ class RepPointsDetector(nn.Module):
     point_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     point_base_scale: float = 4.0
     moment_mul: float = 0.01
+    # 'moment' | 'minmax' | 'partial_minmax' (reppoints_head.py
+    # transform_method)
+    transform_method: str = 'moment'
     # train cfg
     init_assign_scale: float = 4.0
     init_pos_num: int = 1
@@ -219,8 +276,8 @@ class RepPointsDetector(nn.Module):
             [c.reshape(b, -1, self.num_classes) for c in cls_scores], 1)
         init_xy = self._flat_pts_xy(pts_inits, pts_levels, b)
         refine_xy = self._flat_pts_xy(pts_refines, pts_levels, b)
-        bbox_init = points2bbox_moment(init_xy, mt, self.moment_mul)
-        bbox_refine = points2bbox_moment(refine_xy, mt, self.moment_mul)
+        bbox_init = points2bbox(init_xy, self.transform_method, mt, self.moment_mul)
+        bbox_refine = points2bbox(refine_xy, self.transform_method, mt, self.moment_mul)
 
         init_assigner = PointAssigner(scale=self.init_assign_scale,
                                       pos_num=self.init_pos_num)
@@ -286,7 +343,7 @@ class RepPointsDetector(nn.Module):
             p = pr.reshape(b, -1, self.num_points, 2).astype(jnp.float32)
             xy = jnp.stack([p[..., 1], p[..., 0]], -1) * float(s) + \
                 pts[None, :, None, :2]
-            boxes = points2bbox_moment(xy, mt, self.moment_mul)
+            boxes = points2bbox(xy, self.transform_method, mt, self.moment_mul)
             k = min(self.nms_pre, scores.shape[1])
             top_s, top_i = jax.lax.top_k(jnp.max(scores, -1), k)
             lvl_scores.append(jnp.take_along_axis(scores, top_i[..., None],

@@ -24,10 +24,60 @@ from ..utils.registry import HEADS
 from ..core.assigners import MaxIoUAssigner
 from ..core.samplers import RandomSampler, add_gt_as_proposals
 from ..core.mask_targets import mask_targets_from_crops
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align, generic_roi_align
 from .bbox_head import (bbox_targets_from_sample, bbox_head_loss,
                         bbox_head_get_dets, BBoxTargets)
 from .fcn_mask_head import fcn_mask_loss, select_class_channel
+
+
+class DeformRoIPoolPackExtractor(nn.Module):
+    """Deformable RoI pooling with learned per-bin offsets (reference
+    mmdet/ops/dcn/deform_pool.py DeformRoIPoolingPack /
+    ModulatedDeformRoIPoolingPack, configs/dcn *dpool*/*mdpool*): a
+    no-offset pooling pass feeds offset FCs (zero-init) whose output
+    shifts a second deformable pass; the modulated variant multiplies a
+    sigmoid per-bin mask."""
+
+    out_size: int = 7
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    finest_scale: int = 56
+    trans_std: float = 0.1
+    sample_per_part: int = 4
+    modulated: bool = False
+    num_offset_fcs: int = 3
+    fc_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, feats, rois, roi_batch):
+        from ..ops.roi_pool import multilevel_deform_roi_pool
+        feats = list(feats)[:len(self.featmap_strides)]
+        base = multilevel_deform_roi_pool(
+            feats, rois, roi_batch, self.out_size,
+            tuple(self.featmap_strides), offsets=None,
+            finest_scale=self.finest_scale, trans_std=self.trans_std,
+            sample_per_part=self.sample_per_part)
+        x = base.reshape(base.shape[0], -1)
+        for i in range(self.num_offset_fcs - 1):
+            x = nn.relu(nn.Dense(self.fc_channels,
+                                 name=f'offset_fc{i + 1}')(x))
+        off = nn.Dense(self.out_size * self.out_size * 2,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       name='offset_out')(x)
+        off = off.reshape(-1, self.out_size, self.out_size, 2)
+        pooled = multilevel_deform_roi_pool(
+            feats, rois, roi_batch, self.out_size,
+            tuple(self.featmap_strides), offsets=off,
+            finest_scale=self.finest_scale, trans_std=self.trans_std,
+            sample_per_part=self.sample_per_part)
+        if self.modulated:
+            m = jax.nn.sigmoid(
+                nn.Dense(self.out_size * self.out_size,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name='mask_out')(x))
+            pooled = pooled * m.reshape(-1, self.out_size, self.out_size, 1)
+        return pooled
 
 
 @HEADS.register_module()
@@ -45,6 +95,12 @@ class StandardRoIHead(nn.Module):
     mask_roi_out: int = 14
     roi_sampling_ratio: int = 2
     finest_scale: int = 56
+    # extractor selection: 'single' = FPN-routed RoIAlign; 'generic_sum' /
+    # 'generic_concat' = all-level GenericRoIExtractor (configs/groie)
+    roi_extract_mode: str = 'single'
+    # learned deformable RoI pooling pack for the bbox branch
+    # (configs/dcn *dpool*/*mdpool*); None -> RoIAlign
+    bbox_extractor_obj: Optional[nn.Module] = None
     # sampling budget (train_cfg.rcnn.sampler: num=512, pos_fraction=0.25)
     num_samples: int = 512
     pos_fraction: float = 0.25
@@ -65,10 +121,18 @@ class StandardRoIHead(nn.Module):
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
     loss_mask_weight: float = 1.0
+    # regression loss selection (roi_head.bbox_head.loss_bbox +
+    # reg_decoded_bbox — reference bbox_head.py builds the named loss)
+    reg_loss_type: str = 'l1'
+    reg_decoded_bbox: bool = False
+    smoothl1_beta: float = 1.0
     # test cfg (test_cfg.rcnn)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
+    nms_type: str = 'nms'
+    soft_sigma: float = 0.5
+    soft_min_score: float = 1e-3
 
     def _assigner(self) -> MaxIoUAssigner:
         return MaxIoUAssigner(pos_iou_thr=self.pos_iou_thr,
@@ -125,6 +189,12 @@ class StandardRoIHead(nn.Module):
         # extraction (reference: x[:self.mask_roi_extractor.num_inputs],
         # dynamask_roi_head.py:78)
         feats = list(feats)[:len(self.featmap_strides)]
+        if self.roi_extract_mode.startswith('generic'):
+            return generic_roi_align(
+                feats, rois, roi_batch, out_size,
+                tuple(self.featmap_strides),
+                sampling_ratio=self.roi_sampling_ratio,
+                aggregation=self.roi_extract_mode.split('_')[1])
         return multilevel_roi_align(
             feats, rois, roi_batch, out_size, tuple(self.featmap_strides),
             sampling_ratio=self.roi_sampling_ratio,
@@ -135,7 +205,11 @@ class StandardRoIHead(nn.Module):
         bbox_deltas). Overridden by variants with a different feature pull
         (e.g. DoubleHeadRoIHead). The shared head is the C4 ResLayer
         (reference standard_roi_head.py _bbox_forward: with_shared_head)."""
-        bbox_feats = self._extract(feats, rois, roi_batch, self.bbox_roi_out)
+        if self.bbox_extractor_obj is not None:
+            bbox_feats = self.bbox_extractor_obj(feats, rois, roi_batch)
+        else:
+            bbox_feats = self._extract(feats, rois, roi_batch,
+                                       self.bbox_roi_out)
         if self.shared_head is not None:
             bbox_feats = self.shared_head(bbox_feats, train=train)
         return self.bbox_head(bbox_feats, train=train)
@@ -157,14 +231,21 @@ class StandardRoIHead(nn.Module):
                                                      train=train)
         targets = jax.vmap(
             lambda s: bbox_targets_from_sample(
-                s, self.num_classes, self.target_means, self.target_stds)
+                s, self.num_classes, self.target_means, self.target_stds,
+                reg_decoded_bbox=self.reg_decoded_bbox)
         )(sample)
         flat_targets = BBoxTargets(*[t.reshape((b * n,) + t.shape[2:])
                                      for t in targets])
         losses = bbox_head_loss(cls_logits, bbox_deltas, flat_targets,
                                 self.num_classes,
                                 loss_cls_weight=self.loss_cls_weight,
-                                loss_bbox_weight=self.loss_bbox_weight)
+                                loss_bbox_weight=self.loss_bbox_weight,
+                                reg_loss_type=self.reg_loss_type,
+                                reg_decoded_bbox=self.reg_decoded_bbox,
+                                rois=rois,
+                                target_means=self.target_means,
+                                target_stds=self.target_stds,
+                                smoothl1_beta=self.smoothl1_beta)
 
         # ---- mask branch on the fixed positive budget
         if self.mask_head is not None:
@@ -220,7 +301,9 @@ class StandardRoIHead(nn.Module):
             return bbox_head_get_dets(
                 props, cl, bd, pvalid, shape, scale, self.num_classes,
                 self.target_means, self.target_stds, self.score_thr,
-                self.nms_iou_thr, self.max_per_img, rescale=rescale)
+                self.nms_iou_thr, self.max_per_img, rescale=rescale,
+                nms_type=self.nms_type, soft_sigma=self.soft_sigma,
+                soft_min_score=self.soft_min_score)
 
         dets, labels, det_valid = jax.vmap(single)(
             proposals, proposal_valid, cls_logits, bbox_deltas,

@@ -204,6 +204,14 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
         if reg_loss_type == 'ghmr':
             loss_bbox = ghm_r_loss(flat_reg.reshape(-1, 4),
                                    tgt.reshape(-1, 4), pw, ghm_mu, ghm_r_bins)
+        elif reg_loss_type == 'balanced_l1':
+            # Libra RetinaNet (reference libra_retinanet config:
+            # loss_bbox=BalancedL1Loss)
+            from .losses import balanced_l1_loss
+            avg = jnp.maximum(jnp.sum(pos), 1.0)
+            loss_bbox = balanced_l1_loss(
+                flat_reg.reshape(-1, 4), tgt.reshape(-1, 4), beta=0.11,
+                alpha=0.5, gamma=1.5, weight=pw, avg_factor=avg)
         else:
             avg = jnp.maximum(jnp.sum(pos), 1.0)
             loss_bbox = jnp.sum(jnp.abs(flat_reg - tgt) *

@@ -200,14 +200,18 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=('score_thr', 'iou_threshold', 'max_per_img',
-                                   'pre_top_k'))
+                                   'pre_top_k', 'nms_type', 'sigma',
+                                   'min_score'))
 def multiclass_nms(multi_bboxes: jnp.ndarray,
                    multi_scores: jnp.ndarray,
                    score_thr: float,
                    iou_threshold: float,
                    max_per_img: int,
                    valid: jnp.ndarray = None,
-                   pre_top_k: int = 2048):
+                   pre_top_k: int = 2048,
+                   nms_type: str = 'nms',
+                   sigma: float = 0.5,
+                   min_score: float = 1e-3):
     """Per-class NMS over dense (N, C) scores.
 
     Matches reference ``multiclass_nms`` (core/post_processing/bbox_nms.py:
@@ -235,9 +239,21 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), n)
     flat_valid = (jnp.repeat(valid, num_classes) & (flat_scores > score_thr))
 
-    out_boxes, out_scores, out_inds, out_valid = batched_nms(
-        flat_boxes, flat_scores, flat_labels, flat_valid,
-        iou_threshold, max_per_img, pre_top_k)
+    if nms_type == 'soft_nms':
+        # class-offset trick + score-decay selection (reference
+        # bbox_nms.py:63 routes nms_cfg type='soft_nms' the same way)
+        max_coord = jnp.max(jnp.where(flat_valid[:, None],
+                                      flat_boxes, 0.0)) + 1.0
+        offsets = flat_labels.astype(flat_boxes.dtype) * max_coord
+        out_boxes, out_scores, out_inds, out_valid = soft_nms(
+            flat_boxes + offsets[:, None], flat_scores, flat_valid,
+            iou_threshold=iou_threshold, sigma=sigma, min_score=min_score,
+            max_out=max_per_img, pre_top_k=pre_top_k)
+        out_boxes = jnp.where(out_valid[:, None], flat_boxes[out_inds], 0.0)
+    else:
+        out_boxes, out_scores, out_inds, out_valid = batched_nms(
+            flat_boxes, flat_scores, flat_labels, flat_valid,
+            iou_threshold, max_per_img, pre_top_k)
     out_labels = jnp.where(out_valid, flat_labels[out_inds], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
     return dets, out_labels, out_valid

@@ -120,3 +120,32 @@ def deform_roi_pooling(features: jnp.ndarray, rois: jnp.ndarray,
     cnt = jnp.maximum(jnp.sum(inside, axis=(2, 4)), 1.0)
     return (jnp.sum(vals, axis=(2, 4)) /
             cnt[..., None]).astype(features.dtype)
+
+
+def multilevel_deform_roi_pool(features, rois, roi_batch, out_size,
+                               featmap_strides, offsets=None,
+                               finest_scale: int = 56,
+                               trans_std: float = 0.1,
+                               sample_per_part: int = 4):
+    """FPN-routed deformable RoI pooling (reference SingleRoIExtractor with
+    a DeformRoIPooling roi_layer, configs/dcn *dpool*).
+
+    Pools every level densely and selects each RoI's routed level — for the
+    handful of dpool configs the 4x level redundancy is cheaper on TPU than
+    a scatter/gather per level.
+    """
+    from .roi_align import map_roi_levels
+    num_levels = len(features)
+    lvl = map_roi_levels(rois, num_levels, finest_scale).astype(jnp.int32)
+    no_trans = offsets is None
+    if no_trans:
+        offsets = jnp.zeros((rois.shape[0], out_size, out_size, 2),
+                            features[0].dtype)
+    outs = [deform_roi_pooling(f, rois, roi_batch, offsets,
+                               out_size=out_size, spatial_scale=1.0 / st,
+                               sample_per_part=sample_per_part,
+                               trans_std=trans_std, no_trans=no_trans)
+            for f, st in zip(features, featmap_strides)]
+    stacked = jnp.stack(outs)                            # (L, N, s, s, C)
+    return jnp.take_along_axis(
+        stacked, lvl[None, :, None, None, None], axis=0)[0]
