@@ -14,6 +14,17 @@ from typing import Dict, List, Sequence, Union
 
 import numpy as np
 
+# native C kernels (dynamask_tpu/native/maskc.c — the reference's
+# pycocotools-C equivalent); None -> the numpy paths below
+try:
+    from ..native import maskc as _maskc
+except Exception:  # pragma: no cover — import must never break the codec
+    _maskc = None
+
+
+def _as_bytes(counts) -> bytes:
+    return counts.encode('ascii') if isinstance(counts, str) else counts
+
 
 def mask_to_rle_counts(mask: np.ndarray) -> np.ndarray:
     """Binary (h, w) mask -> run lengths (column-major, starting with 0s)."""
@@ -84,6 +95,11 @@ def encode_mask(mask: np.ndarray) -> Dict:
     """Binary (h, w) mask -> COCO compressed RLE dict (pycocotools.mask.encode
     equivalent). ``counts`` is an ascii str for json compatibility."""
     h, w = mask.shape
+    if _maskc is not None:
+        s = _maskc.encode(
+            np.ascontiguousarray(np.asarray(mask, np.uint8).T).tobytes(),
+            int(h), int(w))
+        return {'size': [int(h), int(w)], 'counts': s.decode('ascii')}
     counts = mask_to_rle_counts(mask)
     return {'size': [int(h), int(w)],
             'counts': rle_counts_to_string(counts).decode('ascii')}
@@ -94,6 +110,9 @@ def decode_rle(rle: Dict) -> np.ndarray:
     h, w = rle['size']
     counts = rle['counts']
     if isinstance(counts, (bytes, str)):
+        if _maskc is not None:
+            buf = _maskc.decode(_as_bytes(counts), int(h), int(w))
+            return np.frombuffer(buf, np.uint8).reshape((h, w), order='F')
         counts = rle_string_to_counts(counts)
     return rle_counts_to_mask(counts, h, w)
 
@@ -101,6 +120,8 @@ def decode_rle(rle: Dict) -> np.ndarray:
 def rle_area(rle: Dict) -> int:
     counts = rle['counts']
     if isinstance(counts, (bytes, str)):
+        if _maskc is not None:
+            return int(_maskc.area(_as_bytes(counts)))
         counts = rle_string_to_counts(counts)
     return int(np.asarray(counts, np.int64)[1::2].sum())
 
@@ -156,6 +177,14 @@ def rle_iou(dets: List[Dict], gts: List[Dict],
     for crowd gts the denominator is the det area (IoF)."""
     if not dets or not gts:
         return np.zeros((len(dets), len(gts)))
+    if _maskc is not None and \
+            all(isinstance(r['counts'], (bytes, str)) for r in dets) and \
+            all(isinstance(r['counts'], (bytes, str)) for r in gts):
+        # run-length-domain IoU — no dense decode (maskApi.c rleIou)
+        flat = _maskc.iou([_as_bytes(d['counts']) for d in dets],
+                          [_as_bytes(g['counts']) for g in gts],
+                          [int(bool(c)) for c in iscrowd])
+        return np.asarray(flat).reshape(len(dets), len(gts))
     d_masks = [decode_rle(d).astype(bool) for d in dets]
     g_masks = [decode_rle(g).astype(bool) for g in gts]
     return _masks_pairwise_iou(d_masks, g_masks, iscrowd)

@@ -402,22 +402,33 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
                        axis=1)                          # (n, 8, S_y, Wp, g, cg)
     r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)         # (n, g, S_y, 8, cg, Wp)
 
-    kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg, D=D,
+    # channel-group blocking: the y loop is unrolled inside the kernel, so
+    # scoped VMEM scales with y_blk * cg — when S isn't a multiple of 8 the
+    # whole plane is one y block (Mosaic divisibility rule) and wide cg can
+    # blow the 16M scoped-vmem limit (seen at S=14, cg=128). Halve cg per
+    # block until the (2x-fudged) temporaries estimate fits.
+    cg_blk = cg
+    while (cg_blk % 16 == 0 and
+           y_blk * (8 * cg_blk * NT + Wp * NT + cg_blk * NT) * 4 * 2
+           > 14 * 2 ** 20):
+        cg_blk //= 2
+
+    kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg_blk, D=D,
                              taps=taps, y_blk=y_blk)
     samp = pl.pallas_call(
         kern,
-        grid=(n, g, S // y_blk),
+        grid=(n, g, S // y_blk, cg // cg_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, y_blk, 8, cg, Wp),
-                         lambda i, j, b: (i, j, b, 0, 0, 0),
+            pl.BlockSpec((1, 1, y_blk, 8, cg_blk, Wp),
+                         lambda i, j, b, cb: (i, j, b, 0, cb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b, cb: (i, j, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
+            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b, cb: (i, j, b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, y_blk, cg, NT),
-                               lambda i, j, b: (i, j, b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
+                               lambda i, j, b, cb: (i, j, b, cb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
         interpret=interpret,
