@@ -168,7 +168,8 @@ def bbox_head_loss(cls_logits: jnp.ndarray,
             loss_bbox = bounded_iou_loss(pred, targets.bbox_targets,
                                          weight=w[:, None], avg_factor=avg)
         else:
-            mode = 'giou' if reg_loss_type == 'giou' else 'linear_iou'
+            # reference IoULoss is -log(IoU) (losses/iou_loss.py:28)
+            mode = 'giou' if reg_loss_type == 'giou' else 'log_iou'
             loss_bbox = iou_loss(pred, targets.bbox_targets, mode=mode,
                                  weight=w, avg_factor=avg)
     elif reg_loss_type == 'smooth_l1':

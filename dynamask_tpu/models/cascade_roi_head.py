@@ -100,13 +100,18 @@ class CascadeRoIHead(StandardRoIHead):
             stds = self.stage_target_stds[stage]
             targets = jax.vmap(
                 lambda s: bbox_targets_from_sample(
-                    s, self.num_classes, self.target_means, stds))(sample)
+                    s, self.num_classes, self.target_means, stds,
+                    reg_decoded_bbox=self.reg_decoded_bbox))(sample)
             flat = BBoxTargets(*[t.reshape((b * n,) + t.shape[2:])
                                  for t in targets])
             sl = bbox_head_loss(cls_logits, bbox_deltas, flat,
                                 self.num_classes,
                                 reg_class_agnostic=head.reg_class_agnostic,
                                 reg_loss_type=self.reg_loss_type,
+                                reg_decoded_bbox=self.reg_decoded_bbox,
+                                rois=rois,
+                                target_means=self.target_means,
+                                target_stds=stds,
                                 smoothl1_beta=self.smoothl1_beta)
             w = self.stage_loss_weights[stage]
             losses[f's{stage}.loss_cls'] = w * sl['loss_cls']
@@ -181,7 +186,9 @@ class CascadeRoIHead(StandardRoIHead):
                 boxes.shape[0], -1)
             return multiclass_nms(bxs, scores, self.score_thr,
                                   self.nms_iou_thr, self.max_per_img,
-                                  valid=pvalid)
+                                  valid=pvalid, nms_type=self.nms_type,
+                                  sigma=self.soft_sigma,
+                                  min_score=self.soft_min_score)
 
         dets, labels, det_valid = jax.vmap(single)(
             final_boxes, avg_scores, proposal_valid, batch['img_shape'],

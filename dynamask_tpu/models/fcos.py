@@ -51,8 +51,10 @@ class FCOSHead(nn.Module):
     def _tower_conv(self, i, branch):
         if self.dcn_on_last_conv and i == self.stacked_convs - 1:
             return None  # handled by _dcn_conv at call time
+        # bias dropped under a norm (reference ConvModule conv_bias='auto')
         return nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=normal_init(0.01),
+                       use_bias=self.norm is None,
                        name=f'{branch}_conv_{i}')
 
     @nn.compact

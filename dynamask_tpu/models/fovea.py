@@ -52,48 +52,65 @@ class FoveaHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
-                             padding=[(1, 1), (1, 1)],
-                             kernel_init=normal_init(0.01),
-                             use_bias=self.norm is None,
-                             name=f'cls_conv_{i}')
-                     for i in range(self.stacked_convs)]
+        use_bias = self.norm is None
         reg_convs = [nn.Conv(self.feat_channels, (3, 3),
                              padding=[(1, 1), (1, 1)],
                              kernel_init=normal_init(0.01),
-                             use_bias=self.norm is None,
+                             use_bias=use_bias,
                              name=f'reg_conv_{i}')
                      for i in range(self.stacked_convs)]
         gns = {}
         if self.norm == 'gn':
-            for br in ('cls', 'reg'):
+            for i in range(self.stacked_convs):
+                gns[('reg', i)] = nn.GroupNorm(num_groups=self.gn_groups,
+                                               name=f'reg_gn_{i}')
+        conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                           kernel_init=normal_init(0.01), name='conv_reg')
+        if self.with_deform:
+            # reference fovea_head.py with_deform branch: FeatureAlign on
+            # the RAW input feature (offsets from a bias-free 1x1 over
+            # exp(bbox_pred), gradient flowing into the reg branch), then
+            # a feat->4feat 3x3 + 4feat->4feat 1x1 cls tower and a 3x3
+            # classifier over 4feat channels (fovea_head.py:76-120).
+            from ..ops.deform_conv import deform_conv2d
+            align_offset = nn.Conv(self.deform_groups * 18, (1, 1),
+                                   use_bias=False,
+                                   kernel_init=normal_init(0.1),
+                                   name='feature_adaption_offset')
+            align_w = self.param('feature_adaption_weight', normal_init(0.01),
+                                 (3, 3, self.feat_channels,
+                                  self.feat_channels))
+            cls_conv0 = nn.Conv(self.feat_channels * 4, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=normal_init(0.01),
+                                use_bias=use_bias, name='cls_conv_0')
+            cls_conv1 = nn.Conv(self.feat_channels * 4, (1, 1),
+                                kernel_init=normal_init(0.01),
+                                use_bias=use_bias, name='cls_conv_1')
+            if self.norm == 'gn':
+                gns[('cls', 0)] = nn.GroupNorm(num_groups=self.gn_groups,
+                                               name='cls_gn_0')
+                gns[('cls', 1)] = nn.GroupNorm(num_groups=self.gn_groups,
+                                               name='cls_gn_1')
+            cls_convs = [cls_conv0, cls_conv1]
+        else:
+            cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                                 padding=[(1, 1), (1, 1)],
+                                 kernel_init=normal_init(0.01),
+                                 use_bias=use_bias,
+                                 name=f'cls_conv_{i}')
+                         for i in range(self.stacked_convs)]
+            if self.norm == 'gn':
                 for i in range(self.stacked_convs):
-                    gns[(br, i)] = nn.GroupNorm(num_groups=self.gn_groups,
-                                                name=f'{br}_gn_{i}')
+                    gns[('cls', i)] = nn.GroupNorm(
+                        num_groups=self.gn_groups, name=f'cls_gn_{i}')
         conv_cls = nn.Conv(self.num_classes, (3, 3),
                            padding=[(1, 1), (1, 1)],
                            kernel_init=normal_init(0.01),
                            bias_init=nn.initializers.constant(-4.59512),
                            name='conv_cls')
-        conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                           kernel_init=normal_init(0.01), name='conv_reg')
-        if self.with_deform:
-            from ..ops.deform_conv import deform_conv2d
-            align_offset = nn.Conv(self.deform_groups * 18, (1, 1),
-                                   kernel_init=nn.initializers.zeros,
-                                   bias_init=nn.initializers.zeros,
-                                   name='feature_adaption_offset')
-            align_w = self.param('feature_adaption_weight', normal_init(0.1),
-                                 (3, 3, self.feat_channels,
-                                  self.feat_channels))
         cls_out, reg_out = [], []
         for x in feats:
-            c = x
-            for i, conv in enumerate(cls_convs):
-                c = conv(c)
-                if ('cls', i) in gns:
-                    c = gns[('cls', i)](c)
-                c = nn.relu(c)
             r = x
             for i, conv in enumerate(reg_convs):
                 r = conv(r)
@@ -102,12 +119,18 @@ class FoveaHead(nn.Module):
                 r = nn.relu(r)
             reg = conv_reg(r)
             if self.with_deform:
-                off = align_offset(jnp.exp(
-                    jax.lax.stop_gradient(reg).astype(jnp.float32)))
+                off = align_offset(jnp.exp(reg.astype(jnp.float32)))
                 c = nn.relu(deform_conv2d(
-                    c, off, align_w, kernel_size=3, stride=1, padding=1,
+                    x, off, align_w, kernel_size=3, stride=1, padding=1,
                     dilation=1, deform_groups=self.deform_groups,
                     window=None, roi_chunk=0))
+            else:
+                c = x
+            for i, conv in enumerate(cls_convs):
+                c = conv(c)
+                if ('cls', i) in gns:
+                    c = gns[('cls', i)](c)
+                c = nn.relu(c)
             cls_out.append(conv_cls(c))
             reg_out.append(reg)
         return cls_out, reg_out

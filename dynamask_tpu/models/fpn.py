@@ -89,10 +89,13 @@ class FPN(nn.Module):
                        else outs[-1])
                 for i in range(extra):
                     x = nn.relu(src) if (i > 0 and self.relu_before_extra_convs) else src
-                    src = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                  padding=[(1, 1), (1, 1)],
-                                  kernel_init=_xavier_uniform,
-                                  name=f'extra_conv_{i}')(x)
+                    src = self._n(
+                        nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=_xavier_uniform,
+                                use_bias=use_bias,
+                                name=f'extra_conv_{i}')(x),
+                        f'extra_gn_{i}', train=train)
                     outs.append(src)
         return tuple(outs)
 

@@ -171,7 +171,7 @@ def anchor_head_loss(cls_scores: List[jnp.ndarray],
         anchor_valid = jnp.broadcast_to(anchor_valid[None],
                                         (b, anchor_valid.shape[0]))
 
-    if cls_loss_type == 'ghmc' or reg_loss_type == 'ghmr':
+    if cls_loss_type == 'ghmc' or reg_loss_type in ('ghmr', 'balanced_l1'):
         from .losses import ghm_c_loss, ghm_r_loss
 
         def targets(gts, glabels, gvalid, av):

@@ -21,6 +21,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def _build() -> bool:
+    """(Re)compile when the cached .so is missing or older than the
+    source. The compile goes to a per-pid temp name and lands with an
+    atomic rename, so concurrent importers never see a half-written
+    file."""
     src = os.path.join(_HERE, 'maskc.c')
     so = os.path.join(_HERE, '_maskc' +
                       (sysconfig.get_config_var('EXT_SUFFIX') or '.so'))
@@ -28,20 +32,32 @@ def _build() -> bool:
         return True
     cc = (sysconfig.get_config_var('CC') or 'cc').split()[0]
     include = sysconfig.get_paths()['include']
-    cmd = [cc, '-O2', '-shared', '-fPIC', '-I', include, src, '-o', so]
+    tmp = '%s.tmp.%d' % (so, os.getpid())
+    cmd = [cc, '-O2', '-shared', '-fPIC', '-I', include, src, '-o', tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, timeout=120)
+        if proc.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, so)
     except (OSError, subprocess.TimeoutExpired):
         return False
-    return proc.returncode == 0 and os.path.exists(so)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    return True
 
 
 maskc = None
 if os.environ.get('DYNAMASK_NO_NATIVE', '0') != '1':
-    try:
-        from . import _maskc as maskc  # type: ignore  # pre-built
-    except ImportError:
-        if _build():
+    # staleness check runs BEFORE any import so edits to maskc.c always
+    # take effect on the next interpreter start
+    if _build():
+        try:
+            from . import _maskc as maskc  # type: ignore
+        except ImportError:
             try:
                 if _HERE not in sys.path:
                     sys.path.insert(0, _HERE)

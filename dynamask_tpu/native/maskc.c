@@ -25,8 +25,9 @@
 
 /* ----------------------------------------------------------- varints */
 
-/* varint string -> malloc'd run counts; returns count or -1 on alloc
- * failure. Counts use second-order deltas: x += cnts[m-2] for m > 2. */
+/* varint string -> malloc'd run counts; returns count, -1 on alloc
+ * failure, or -2 when a decoded run length is negative (malformed
+ * input). Counts use second-order deltas: x += cnts[m-2] for m > 2. */
 static Py_ssize_t
 str_to_counts(const char *s, Py_ssize_t slen, long long **out)
 {
@@ -50,10 +51,24 @@ str_to_counts(const char *s, Py_ssize_t slen, long long **out)
             x |= -1LL << (5 * k);
         if (m > 2)
             x += cnts[m - 2];
+        if (x < 0) {
+            free(cnts);
+            return -2;
+        }
         cnts[m++] = x;
     }
     *out = cnts;
     return m;
+}
+
+static PyObject *
+counts_error(Py_ssize_t m)
+{
+    if (m == -2) {
+        PyErr_SetString(PyExc_ValueError, "negative run length in rle");
+        return NULL;
+    }
+    return PyErr_NoMemory();
 }
 
 /* run counts -> varint bytes appended into a growable buffer */
@@ -103,7 +118,7 @@ maskc_decode(PyObject *self, PyObject *args)
     m = str_to_counts((const char *)sb.buf, sb.len, &cnts);
     PyBuffer_Release(&sb);
     if (m < 0)
-        return PyErr_NoMemory();
+        return counts_error(m);
     for (i = 0; i < m; i++)
         total += cnts[i];
     if (total != (long long)h * w) {
@@ -113,12 +128,14 @@ maskc_decode(PyObject *self, PyObject *args)
                      total, h, w);
         return NULL;
     }
-    out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)total);
+    /* bytearray: numpy views of it stay writable, matching the numpy
+     * fallback's mutability */
+    out = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)total);
     if (!out) {
         free(cnts);
         return NULL;
     }
-    dst = PyBytes_AS_STRING(out);
+    dst = PyByteArray_AS_STRING(out);
     for (i = 0; i < m; i++) {
         memset(dst + pos, (int)(i & 1), (size_t)cnts[i]);
         pos += cnts[i];
@@ -197,7 +214,7 @@ maskc_area(PyObject *self, PyObject *args)
     m = str_to_counts((const char *)sb.buf, sb.len, &cnts);
     PyBuffer_Release(&sb);
     if (m < 0)
-        return PyErr_NoMemory();
+        return counts_error(m);
     a = rle_area_counts(cnts, m);
     free(cnts);
     return PyLong_FromLongLong(a);
@@ -279,7 +296,8 @@ maskc_iou(PyObject *self, PyObject *args)
         PyBuffer_Release(&sb);
         Py_DECREF(it);
         if (dn[i] < 0) {
-            PyErr_NoMemory();
+            counts_error(dn[i]);
+            dn[i] = 0;
             goto fail;
         }
         darea[i] = (double)rle_area_counts(dc[i], dn[i]);
@@ -299,7 +317,8 @@ maskc_iou(PyObject *self, PyObject *args)
         PyBuffer_Release(&sb);
         Py_DECREF(it);
         if (gn[j] < 0) {
-            PyErr_NoMemory();
+            counts_error(gn[j]);
+            gn[j] = 0;
             goto fail;
         }
         garea[j] = (double)rle_area_counts(gc[j], gn[j]);
