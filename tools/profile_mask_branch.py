@@ -75,6 +75,17 @@ def main():
                 preds, _ = rh._mask_forward(feats, rois, rb, labels[0],
                                             False, (D, D, k2, k3))
                 return S(preds)
+            if fn_name.startswith('stage'):
+                # per-stage marginals: grow the admitted prefix one stage
+                # at a time (later-stage capacity 1 = near-zero work)
+                k2 = max(1, int(round(D * 0.5)))
+                k3 = max(1, int(round(D * 0.25)))
+                caps = {'stage28': (D, 1, 1, 1),
+                        'stage56': (D, D, 1, 1),
+                        'stage112': (D, D, k2, 1)}[fn_name]
+                preds, _ = rh._mask_forward(feats, rois, rb, labels[0],
+                                            False, caps)
+                return S(preds)
             if fn_name == 'full_mask':
                 return S(rh.simple_test_mask(feats, dets, labels, bb,
                                              rescale=False))
@@ -95,8 +106,9 @@ def main():
 
     base = timeit(jax.jit(lambda v, b: jnp.sum(b['image'][0, 0, 0])))
     print(f'floor {base * 1e3:.1f} ms')
-    for name in ['feats', 'roialign14', 'msm', 'cascade_full',
-                 'cascade_bucketed', 'full_mask']:
+    for name in ['feats', 'roialign14', 'msm', 'stage28', 'stage56',
+                 'stage112', 'cascade_full', 'cascade_bucketed',
+                 'full_mask']:
         f = jax.jit(lambda v, b, go=mk(name): det.apply(v, b, method=go))
         dt = timeit(f)
         print(f'{name:18s} {dt * 1e3:8.1f} ms '
