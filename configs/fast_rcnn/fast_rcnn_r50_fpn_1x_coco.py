@@ -39,3 +39,31 @@ test_cfg = dict(rcnn=dict(score_thr=0.05,
                           nms=dict(type='nms', iou_threshold=0.5),
                           max_per_img=100))
 optimizer = dict(type='SGD', lr=0.02, momentum=0.9, weight_decay=0.0001)
+# precomputed proposals (reference fast_rcnn config: LoadProposals +
+# data.*.proposal_file)
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadProposals', num_max_proposals=2000),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadProposals', num_max_proposals=None),
+    dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+]
+data = dict(
+    train=dict(proposal_file='proposals/rpn_r50_fpn_1x_train2017.pkl',
+               pipeline=train_pipeline),
+    val=dict(proposal_file='proposals/rpn_r50_fpn_1x_val2017.pkl',
+             pipeline=test_pipeline),
+    test=dict(proposal_file='proposals/rpn_r50_fpn_1x_val2017.pkl',
+              pipeline=test_pipeline))
+evaluation = dict(metric=['bbox'])

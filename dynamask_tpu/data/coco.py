@@ -77,12 +77,16 @@ class CocoDataset:
                  max_gts: int = 100,
                  mask_crop_size: int = 128,
                  with_semantic: bool = False,
-                 classes: Optional[Sequence[str]] = None):
+                 classes: Optional[Sequence[str]] = None,
+                 proposal_file: Optional[str] = None,
+                 max_proposals: int = 1000):
         if data_root is not None:
             if not osp.isabs(ann_file):
                 ann_file = osp.join(data_root, ann_file)
             if img_prefix and not osp.isabs(img_prefix):
                 img_prefix = osp.join(data_root, img_prefix)
+            if proposal_file and not osp.isabs(proposal_file):
+                proposal_file = osp.join(data_root, proposal_file)
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.test_mode = test_mode
@@ -101,6 +105,17 @@ class CocoDataset:
         self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
 
         self.img_infos = [self.coco.imgs[i] for i in self.coco.img_ids]
+        # precomputed proposals (reference custom.py load_proposals: a
+        # pickled list of (N, 4|5) arrays aligned with the UNFILTERED image
+        # order); keyed by image id so GT filtering below can't misalign
+        self.max_proposals = max_proposals
+        self.proposals = None
+        if proposal_file is not None:
+            import pickle
+            with open(proposal_file, 'rb') as f:
+                plist = pickle.load(f)
+            self.proposals = {info['id']: np.asarray(p, np.float32)
+                              for info, p in zip(self.img_infos, plist)}
         if not test_mode:
             self.img_infos = self._filter_imgs(filter_empty_gt)
         # orientation grouping (reference custom.py:_set_group_flag)
@@ -160,12 +175,15 @@ class CocoDataset:
             'img_prefix': self.img_prefix,
             'img_id': info['id'],
         }
+        if self.proposals is not None:
+            results['proposals'] = self.proposals[info['id']].copy()
         if not self.test_mode:
             results['ann_info'] = self.get_ann_info(idx)
         results = self.pipeline(results)
         sample = format_sample(results, self.canvases, self.max_gts,
                                self.mask_crop_size,
-                               with_semantic=self.with_semantic)
+                               with_semantic=self.with_semantic,
+                               max_proposals=self.max_proposals)
         sample['img_id'] = np.array(info['id'], np.int64)
         return sample
 

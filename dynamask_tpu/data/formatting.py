@@ -81,7 +81,8 @@ def format_sample(results: Dict, canvases: Sequence[Tuple[int, int]],
                   crop_margin: float = 2.0,
                   max_ignore: int = 20,
                   with_semantic: bool = False,
-                  semantic_stride: int = 4) -> Dict[str, np.ndarray]:
+                  semantic_stride: int = 4,
+                  max_proposals: int = 1000) -> Dict[str, np.ndarray]:
     """One pipeline output -> static-shape arrays (pre-batching)."""
     img = results['img']
     h, w = img.shape[:2]
@@ -98,6 +99,17 @@ def format_sample(results: Dict, canvases: Sequence[Tuple[int, int]],
             'scale_factor', np.ones(4, np.float32)), np.float32),
         'flip': np.array(results.get('flip', False)),
     }
+
+    if 'proposals' in results:
+        # precomputed proposals (LoadProposals) -> static budget
+        props = np.asarray(results['proposals'], np.float32).reshape(-1, 4)
+        k = min(len(props), max_proposals)
+        padded = np.zeros((max_proposals, 4), np.float32)
+        pvalid = np.zeros(max_proposals, bool)
+        padded[:k] = props[:k]
+        pvalid[:k] = True
+        out['proposals'] = padded
+        out['proposal_valid'] = pvalid
 
     if 'gt_bboxes' in results:
         boxes = np.asarray(results['gt_bboxes'], np.float32).reshape(-1, 4)

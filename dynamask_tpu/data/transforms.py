@@ -60,6 +60,30 @@ class LoadAnnotations:
 
 
 @PIPELINES.register_module()
+class LoadProposals:
+    """Precomputed-proposal loading (reference pipelines/loading.py:356):
+    the dataset injects ``results['proposals']`` from its ``proposal_file``;
+    this step validates the shape, drops a trailing score column, and
+    truncates to ``num_max_proposals``. Fast R-CNN / GA-Fast configs."""
+
+    def __init__(self, num_max_proposals: int = None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results: Dict) -> Dict:
+        props = np.asarray(results['proposals'], np.float32)
+        if props.ndim != 2 or props.shape[1] not in (4, 5):
+            raise AssertionError(
+                'proposals must be (N, 4|5), got %r' % (props.shape,))
+        props = props[:, :4]
+        if self.num_max_proposals is not None:
+            props = props[:self.num_max_proposals]
+        if len(props) == 0:
+            props = np.zeros((1, 4), np.float32)
+        results['proposals'] = props
+        return results
+
+
+@PIPELINES.register_module()
 class Resize:
     """Keep-ratio resize to fit inside img_scale (max_long, max_short)
     (reference Resize with keep_ratio=True). Multi-scale accepted as a list
@@ -117,6 +141,11 @@ class Resize:
                 boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, img.shape[1])
                 boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, img.shape[0])
                 results[key] = boxes
+        if 'proposals' in results:  # precomputed proposals follow the image
+            props = results['proposals'] * results['scale_factor']
+            props[:, 0::2] = np.clip(props[:, 0::2], 0, img.shape[1])
+            props[:, 1::2] = np.clip(props[:, 1::2], 0, img.shape[0])
+            results['proposals'] = props
         if 'gt_masks' in results:
             results['gt_masks'] = [
                 _scale_segm(m, w_scale, h_scale) for m in results['gt_masks']]
@@ -161,6 +190,11 @@ class RandomFlip:
                 boxes[:, 0] = w - results[key][:, 2]
                 boxes[:, 2] = w - results[key][:, 0]
                 results[key] = boxes
+        if 'proposals' in results:
+            props = results['proposals'].copy()
+            props[:, 0] = w - results['proposals'][:, 2]
+            props[:, 2] = w - results['proposals'][:, 0]
+            results['proposals'] = props
         if 'gt_masks' in results:
             results['gt_masks'] = [_flip_segm(m, w)
                                    for m in results['gt_masks']]

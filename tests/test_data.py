@@ -310,3 +310,54 @@ class TestCorrupt:
         from dynamask_tpu.data.transforms import Corrupt
         with pytest.raises(ImportError, match='imagecorruptions'):
             Corrupt('gaussian_noise')
+
+
+class TestPrecomputedProposals:
+    """LoadProposals + dataset proposal_file -> static (P, 4) batch keys
+    (reference pipelines/loading.py:356 + custom.py load_proposals)."""
+
+    def test_proposals_flow_through_pipeline(self, tmp_path):
+        import pickle
+        from dynamask_tpu.data.coco import CocoDataset
+        ann_file, img_dir = make_synthetic_coco(tmp_path)
+        rng = np.random.RandomState(4)
+        plist = []
+        for _ in range(6):
+            n = rng.randint(3, 8)
+            x1 = rng.uniform(0, 50, n)
+            y1 = rng.uniform(0, 40, n)
+            props = np.stack([x1, y1, x1 + rng.uniform(8, 30, n),
+                              y1 + rng.uniform(8, 30, n),
+                              rng.uniform(0, 1, n)], -1).astype(np.float32)
+            plist.append(props)
+        pfile = str(tmp_path / 'props.pkl')
+        with open(pfile, 'wb') as f:
+            pickle.dump(plist, f)
+
+        pipeline = [
+            dict(type='LoadImageFromFile'),
+            dict(type='LoadProposals', num_max_proposals=5),
+            dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+            dict(type='Resize', img_scale=(160, 128), keep_ratio=True),
+            dict(type='RandomFlip', flip_ratio=1.0),
+            dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+                 std=[58.395, 57.12, 57.375], to_rgb=True),
+            dict(type='Pad', size_divisor=32),
+        ]
+        ds = CocoDataset(ann_file=ann_file, img_prefix=img_dir,
+                         pipeline=pipeline,
+                         canvases=[(128, 160), (160, 128)],
+                         max_gts=10, mask_crop_size=32,
+                         proposal_file=pfile, max_proposals=8)
+        sample = ds[0]
+        assert sample['proposals'].shape == (8, 4)
+        assert sample['proposal_valid'].shape == (8,)
+        k = int(sample['proposal_valid'].sum())
+        assert 1 <= k <= 5  # num_max_proposals truncation applied
+        props = sample['proposals'][:k]
+        # scaled+flipped but still inside the resized image
+        assert (props[:, 2] > props[:, 0]).all()
+        assert (props[:, 3] > props[:, 1]).all()
+        assert props.max() <= 160.0 + 1e-3
+        # score column dropped
+        assert sample['proposals'].shape[1] == 4
