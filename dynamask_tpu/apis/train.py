@@ -75,6 +75,13 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     logger = get_root_logger(osp.join(work_dir, f'{timestamp}.log'))
     json_log = open(osp.join(work_dir, f'{timestamp}.log.json'), 'a')
 
+    # environment block at the top of the log (reference tools/train.py:
+    # collect_env() dumped into meta + logger)
+    from ..utils import collect_env
+    env_str = '\n'.join(f'{k}: {v}' for k, v in collect_env().items())
+    logger.info('Environment info:\n' + '-' * 60 + f'\n{env_str}\n'
+                + '-' * 60)
+
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     n_proc = jax.process_count()

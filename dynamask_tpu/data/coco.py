@@ -219,6 +219,40 @@ class CocoDataset:
                     segm_json.append(seg)
         return det_json, segm_json
 
+    def fast_eval_recall(self, results: List[Dict],
+                         proposal_nums: Sequence[int] = (100, 300, 1000),
+                         iou_thrs: Optional[Sequence[float]] = None
+                         ) -> np.ndarray:
+        """Proposal average recall by direct IoU matching (reference
+        coco.py:313-335 fast_eval_recall). Uses ``res['proposals']`` when
+        present (RPN-style output), else the valid detections."""
+        from ..core import eval_recalls
+        if iou_thrs is None:
+            iou_thrs = np.arange(0.5, 0.96, 0.05)
+        by_id = {int(r['img_id']): r for r in results}
+        gts, props = [], []
+        for info in self.img_infos:
+            boxes = [a['bbox'] for a in self.coco.img_anns.get(info['id'], [])
+                     if not (a.get('iscrowd', 0) or a.get('ignore', 0))]
+            b = np.asarray(boxes, np.float32).reshape(-1, 4)
+            gts.append(np.concatenate([b[:, :2], b[:, :2] + b[:, 2:]],
+                                      axis=1))
+            res = by_id.get(info['id'])
+            if res is None:
+                props.append(np.zeros((0, 5), np.float32))
+                continue
+            if 'proposals' in res:
+                p = np.asarray(res['proposals'], np.float32).reshape(-1, 5)
+            else:
+                dets = np.asarray(res['dets'], np.float32).reshape(-1, 5)
+                valid = np.asarray(res['valid']).astype(bool)
+                p = dets[valid]
+            if len(p):
+                p = p[np.argsort(-p[:, 4], kind='mergesort')]
+            props.append(p)
+        rec = eval_recalls(gts, props, proposal_nums, iou_thrs)
+        return rec.mean(axis=1)
+
     def evaluate(self, results: List[Dict],
                  metric: Sequence[str] = ('bbox',)) -> Dict[str, float]:
         det_json, segm_json = self.results2json(results)
@@ -243,6 +277,19 @@ class CocoDataset:
                                img_sizes=img_sizes)
             for k, v in ev.evaluate(segm_json).items():
                 out[f'segm_{k}'] = v
+        if 'proposal' in metric:
+            # class-agnostic AR@(100,300,1000) (reference coco.py:477-489,
+            # cocoEval.params.useCats = 0)
+            gt0 = [dict(a, category_id=0) for a in gt_anns]
+            det0 = [dict(d, category_id=0) for d in det_json]
+            ev = CocoEvaluator(gt0, img_ids, [0], 'bbox',
+                               max_dets=(100, 300, 1000))
+            out.update(ev.evaluate(det0))
+        if 'proposal_fast' in metric:
+            nums = (100, 300, 1000)
+            ar = self.fast_eval_recall(results, nums)
+            for i, n in enumerate(nums):
+                out[f'AR@{n}'] = float(ar[i])
         return out
 
 

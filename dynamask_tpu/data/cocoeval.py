@@ -54,14 +54,20 @@ class CocoEvaluator:
         img_ids: all image ids (images with no gt still count).
         cat_ids: category ids to evaluate.
         iou_type: 'bbox' or 'segm'.
+        max_dets: detection-count cutoffs. Default (1, 10, 100) gives the
+            standard AP/AR table; (100, 300, 1000) reproduces the reference
+            'proposal' metric (coco.py:450-490, cocoEval.params.maxDets).
     """
 
     def __init__(self, gt_anns: List[dict], img_ids: Sequence[int],
                  cat_ids: Sequence[int], iou_type: str = 'bbox',
                  img_sizes: Optional[Dict[int, Sequence[int]]] = None,
-                 iou_thrs: Optional[Sequence[float]] = None):
+                 iou_thrs: Optional[Sequence[float]] = None,
+                 max_dets: Optional[Sequence[int]] = None):
         assert iou_type in ('bbox', 'segm')
         self.iou_type = iou_type
+        self.max_dets = (tuple(sorted(max_dets)) if max_dets is not None
+                         else MAX_DETS)
         # custom thresholds support tools/coco_error_analysis.py (e.g. a
         # single 0.1 threshold for localization-error APs)
         self.iou_thrs = np.asarray(iou_thrs if iou_thrs is not None
@@ -81,7 +87,7 @@ class CocoEvaluator:
         t = len(self.iou_thrs)
         k_num = len(self.cat_ids)
         a_num = len(AREA_RNGS)
-        m_num = len(MAX_DETS)
+        m_num = len(self.max_dets)
         # accumulate per (cat, area, maxdet): match matrices over images
         precision = -np.ones((t, len(REC_THRS), k_num, a_num, m_num))
         recall = -np.ones((t, k_num, a_num, m_num))
@@ -98,7 +104,7 @@ class CocoEvaluator:
             if not per_img:
                 continue
             for ai, (aname, arng) in enumerate(AREA_RNGS.items()):
-                for mi, maxdet in enumerate(MAX_DETS):
+                for mi, maxdet in enumerate(self.max_dets):
                     self._accumulate(per_img, arng, maxdet, precision, recall,
                                      ki, ai, mi)
 
@@ -111,7 +117,7 @@ class CocoEvaluator:
                      img_size: Optional[Sequence[int]] = None):
         """Greedy IoU matching in score order at all thresholds (COCOeval
         evaluateImg)."""
-        dets = sorted(dets, key=lambda d: -d['score'])[:max(MAX_DETS)]
+        dets = sorted(dets, key=lambda d: -d['score'])[:max(self.max_dets)]
         iscrowd = [bool(g.get('iscrowd', 0)) for g in gts]
         if self.iou_type == 'bbox':
             d_boxes = np.asarray([d['bbox'] for d in dets], np.float64
@@ -223,7 +229,7 @@ class CocoEvaluator:
     def _summarize(self, precision, recall) -> Dict[str, float]:
         def ap(iou=None, area='all', maxdet=100):
             ai = list(AREA_RNGS).index(area)
-            mi = MAX_DETS.index(maxdet)
+            mi = self.max_dets.index(maxdet)
             p = precision[:, :, :, ai, mi]
             if iou is not None:
                 hit = np.where(np.isclose(self.iou_thrs, iou))[0]
@@ -235,10 +241,19 @@ class CocoEvaluator:
 
         def ar(area='all', maxdet=100):
             ai = list(AREA_RNGS).index(area)
-            mi = MAX_DETS.index(maxdet)
+            mi = self.max_dets.index(maxdet)
             r = recall[:, :, ai, mi]
             r = r[r > -1]
             return float(r.mean()) if r.size else -1.0
+
+        if self.max_dets != MAX_DETS:
+            # proposal-style table (reference 'proposal' metric_items)
+            top = max(self.max_dets)
+            stats = {f'AR@{m}': ar(maxdet=m) for m in self.max_dets}
+            stats[f'AR_s@{top}'] = ar(area='small', maxdet=top)
+            stats[f'AR_m@{top}'] = ar(area='medium', maxdet=top)
+            stats[f'AR_l@{top}'] = ar(area='large', maxdet=top)
+            return stats
 
         return {
             'mAP': ap(), 'mAP_50': ap(iou=0.5), 'mAP_75': ap(iou=0.75),

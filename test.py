@@ -19,7 +19,7 @@ def parse_args():
     p.add_argument('checkpoint', nargs='?', default=None,
                    help='checkpoint dir (omit for random weights smoke)')
     p.add_argument('--eval', nargs='+', default=['bbox'],
-                   choices=['bbox', 'segm', 'proposal'])
+                   choices=['bbox', 'segm', 'proposal', 'proposal_fast'])
     p.add_argument('--out', help='dump raw results json')
     p.add_argument('--format-only', action='store_true',
                    help='format results (json dump) without evaluating '

@@ -218,6 +218,53 @@ class TestCocoDataset:
         stats = ds.evaluate(results, metric=['bbox'])
         assert stats['bbox_mAP'] == pytest.approx(1.0)
 
+    def test_proposal_metrics(self, tmp_path):
+        """'proposal' (class-agnostic COCO AR) and 'proposal_fast' (direct
+        IoU recall, reference coco.py:313-335) both hit 1.0 on GT-as-dets."""
+        ann_file, img_dir = make_synthetic_coco(tmp_path)
+        ds = CocoDataset(ann_file=ann_file, img_prefix=img_dir,
+                         pipeline=TRAIN_PIPELINE, test_mode=True,
+                         canvases=[(128, 160), (160, 128)])
+        results = []
+        for idx in range(len(ds)):
+            ann = ds.get_ann_info(idx)
+            n = len(ann['bboxes'])
+            dets = np.concatenate(
+                [ann['bboxes'], 0.9 * np.ones((n, 1), np.float32)], 1)
+            results.append({
+                'img_id': ds.img_infos[idx]['id'],
+                'dets': dets, 'labels': ann['labels'],
+                'valid': np.ones(n, bool)})
+        stats = ds.evaluate(results, metric=['proposal', 'proposal_fast'])
+        for k in ('AR@100', 'AR@300', 'AR@1000'):
+            assert stats[k] == pytest.approx(1.0), k
+        assert f'AR_l@1000' in stats
+        # degrade: drop every det for half the images -> recall < 1
+        half = [dict(r, dets=r['dets'][:0], labels=r['labels'][:0],
+                     valid=r['valid'][:0]) if i % 2 else r
+                for i, r in enumerate(results)]
+        worse = ds.evaluate(half, metric=['proposal_fast'])
+        assert worse['AR@100'] < 1.0
+
+    def test_proposal_fast_uses_proposals_key(self, tmp_path):
+        ann_file, img_dir = make_synthetic_coco(tmp_path)
+        ds = CocoDataset(ann_file=ann_file, img_prefix=img_dir,
+                         pipeline=TRAIN_PIPELINE, test_mode=True,
+                         canvases=[(128, 160), (160, 128)])
+        results = []
+        for idx in range(len(ds)):
+            ann = ds.get_ann_info(idx)
+            n = len(ann['bboxes'])
+            props = np.concatenate(
+                [ann['bboxes'], np.ones((n, 1), np.float32)], 1)
+            results.append({'img_id': ds.img_infos[idx]['id'],
+                            'dets': np.zeros((0, 5), np.float32),
+                            'labels': np.zeros((0,), np.int64),
+                            'valid': np.zeros((0,), bool),
+                            'proposals': props})
+        ar = ds.fast_eval_recall(results, (10,))
+        assert ar[0] == pytest.approx(1.0)
+
 
 def test_canvas_for():
     assert canvas_for(100, 150, [(128, 160), (160, 128)]) == (128, 160)

@@ -330,3 +330,29 @@ class TestDetectoRSResNeXt:
         assert w.shape[3] == 256  # width = 128 * 4/64 * 32
         outs = bb.apply(variables, x)
         assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+class TestUtilsTail:
+    def test_collect_env_keys(self):
+        from dynamask_tpu.utils import collect_env
+        env = collect_env()
+        assert 'Python' in env and 'JAX' in env and 'DynaMask-TPU' in env
+
+    def test_profile_time_blocks_and_accumulates(self, capsys):
+        from dynamask_tpu.utils import profile_time, profile_summary
+        x = jnp.ones((8, 8))
+        with profile_time('toy_scope', stream=x):
+            y = x * 2
+        out = capsys.readouterr().out
+        assert 'toy_scope' in out and 'ms' in out
+        assert profile_summary()['toy_scope'] >= 0.0
+
+    def test_nice_repr(self):
+        from dynamask_tpu.utils import NiceRepr
+
+        class Group(NiceRepr):
+            def __len__(self):
+                return 3
+
+        assert '(3)' in repr(Group())
+        assert '(3)' in str(Group())
