@@ -15,6 +15,10 @@ from .merge_augs import (recover_boxes, to_aug_frame, merge_aug_bboxes,
                          merge_aug_masks, merge_aug_scores)
 from .fp16 import to_bf16, to_f32, cast_floating
 from .mask_targets import mask_targets_from_crops
+from .class_names import (get_classes, coco_classes, voc_classes,
+                          cityscapes_classes, wider_face_classes,
+                          imagenet_det_classes, imagenet_vid_classes,
+                          dataset_aliases)
 
 __all__ = [
     'bbox_overlaps', 'bbox2delta', 'delta2bbox', 'clip_boxes', 'bbox_flip',
@@ -28,4 +32,7 @@ __all__ = [
     'recover_boxes', 'to_aug_frame', 'merge_aug_bboxes', 'merge_aug_masks',
     'merge_aug_scores', 'to_bf16', 'to_f32', 'cast_floating',
     'mask_targets_from_crops',
+    'get_classes', 'coco_classes', 'voc_classes', 'cityscapes_classes',
+    'wider_face_classes', 'imagenet_det_classes', 'imagenet_vid_classes',
+    'dataset_aliases',
 ]

@@ -253,8 +253,21 @@ class CocoDataset:
         rec = eval_recalls(gts, props, proposal_nums, iou_thrs)
         return rec.mean(axis=1)
 
+    def _classwise_table(self, ev: CocoEvaluator, title: str) -> None:
+        """Per-category AP table (reference coco.py:496-516 classwise)."""
+        rows = []
+        for cat, ap in ev.per_class_ap.items():
+            name = self.coco.cats.get(cat, {}).get(
+                'name', self.CLASSES[self.cat2label.get(cat, 0)])
+            rows.append((name, ap))
+        width = max((len(n) for n, _ in rows), default=8)
+        print(f'\n--- per-category {title} AP ---')
+        for name, ap in rows:
+            print(f'{name:<{width}}  {ap:.3f}')
+
     def evaluate(self, results: List[Dict],
-                 metric: Sequence[str] = ('bbox',)) -> Dict[str, float]:
+                 metric: Sequence[str] = ('bbox',),
+                 classwise: bool = False) -> Dict[str, float]:
         det_json, segm_json = self.results2json(results)
         img_ids = [info['id'] for info in self.img_infos]
 
@@ -272,11 +285,15 @@ class CocoDataset:
             ev = CocoEvaluator(gt_anns, img_ids, self.cat_ids, 'bbox')
             for k, v in ev.evaluate(det_json).items():
                 out[f'bbox_{k}'] = v
+            if classwise:
+                self._classwise_table(ev, 'bbox')
         if 'segm' in metric:
             ev = CocoEvaluator(gt_anns, img_ids, self.cat_ids, 'segm',
                                img_sizes=img_sizes)
             for k, v in ev.evaluate(segm_json).items():
                 out[f'segm_{k}'] = v
+            if classwise:
+                self._classwise_table(ev, 'segm')
         if 'proposal' in metric:
             # class-agnostic AR@(100,300,1000) (reference coco.py:477-489,
             # cocoEval.params.useCats = 0)

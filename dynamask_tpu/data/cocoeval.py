@@ -109,6 +109,14 @@ class CocoEvaluator:
                                      ki, ai, mi)
 
         stats = self._summarize(precision, recall)
+        # per-category AP@[.5:.95] (area=all, top maxdet) for the reference's
+        # classwise table (coco.py:496-516)
+        ai = list(AREA_RNGS).index('all')
+        self.per_class_ap = {}
+        for ki, cat in enumerate(self.cat_ids):
+            p = precision[:, :, ki, ai, -1]
+            p = p[p > -1]
+            self.per_class_ap[cat] = float(p.mean()) if p.size else float('nan')
         return stats
 
     # ---------------------------------------------------------------- match

@@ -36,6 +36,9 @@ def parse_args():
                    help='data-parallel eval over N devices '
                         '(reference multi_gpu_test)')
     p.add_argument('--max-images', type=int, default=None)
+    p.add_argument('--classwise', action='store_true',
+                   help='print per-category AP table (reference '
+                        'coco.py:496-516 classwise eval option)')
     p.add_argument('--options', nargs='+', default=[])
     return p.parse_args()
 
@@ -113,7 +116,8 @@ def main():
         _render_results(args, cfg, dataset, results, classes)
     if args.format_only:
         return
-    metrics = dataset.evaluate(results, metric=args.eval)
+    eval_kw = {'classwise': True} if args.classwise else {}
+    metrics = dataset.evaluate(results, metric=args.eval, **eval_kw)
     for k, v in metrics.items():
         print(f'{k}: {v:.4f}')
 

@@ -408,3 +408,38 @@ class TestPrecomputedProposals:
         assert props.max() <= 160.0 + 1e-3
         # score column dropped
         assert sample['proposals'].shape[1] == 4
+
+
+def test_get_classes_dispatcher():
+    from dynamask_tpu.core import get_classes, coco_classes
+    assert get_classes('coco') == coco_classes()
+    assert len(get_classes('voc')) == 20
+    assert get_classes('wider_face') == ['face']
+    assert len(get_classes('imagenet_det')) == 200
+    assert len(get_classes('imagenet_vid')) == 30
+    assert len(get_classes('cityscapes')) == 8
+    with pytest.raises(ValueError):
+        get_classes('nope')
+    with pytest.raises(TypeError):
+        get_classes(3)
+
+
+def test_classwise_table(tmp_path, capsys):
+    ann_file, img_dir = make_synthetic_coco(tmp_path)
+    ds = CocoDataset(ann_file=ann_file, img_prefix=img_dir,
+                     pipeline=TRAIN_PIPELINE, test_mode=True,
+                     canvases=[(128, 160), (160, 128)])
+    results = []
+    for idx in range(len(ds)):
+        ann = ds.get_ann_info(idx)
+        n = len(ann['bboxes'])
+        dets = np.concatenate(
+            [ann['bboxes'], 0.9 * np.ones((n, 1), np.float32)], 1)
+        results.append({'img_id': ds.img_infos[idx]['id'],
+                        'dets': dets, 'labels': ann['labels'],
+                        'valid': np.ones(n, bool)})
+    stats = ds.evaluate(results, metric=['bbox'], classwise=True)
+    out = capsys.readouterr().out
+    assert 'per-category bbox AP' in out
+    assert 'person' in out and 'car' in out
+    assert stats['bbox_mAP'] == pytest.approx(1.0)
