@@ -124,10 +124,15 @@ class XMLDataset:
         return sample
 
     def evaluate(self, results: List[Dict], metric=('mAP',),
-                 iou_thr: float = 0.5) -> Dict[str, float]:
-        """VOC mAP over xyxy results (reference voc.py:evaluate)."""
+                 iou_thr: float = 0.5,
+                 proposal_nums=(100, 300, 1000)) -> Dict[str, float]:
+        """VOC mAP / proposal recall over xyxy results (reference
+        voc.py:23-76 evaluate, metrics 'mAP' and 'recall')."""
+        if isinstance(metric, str):
+            metric = [metric]
         det_lists = []
         anns = []
+        raw_dets = []
         for res in results:
             idx = int(res['img_id'])
             dets = np.asarray(res['dets'])
@@ -139,9 +144,30 @@ class XMLDataset:
                 per_cls.append(dets[sel])
             det_lists.append(per_cls)
             anns.append(self.get_ann_info(idx))
-        mode = '11points' if getattr(self, 'year', 2012) == 2007 else 'area'
-        mAP, _ = eval_map(det_lists, anns, iou_thr=iou_thr, mode=mode)
-        return {'mAP': mAP}
+            d = dets[valid]
+            if len(d):
+                d = d[np.argsort(-d[:, 4], kind='mergesort')]
+            raw_dets.append(d)
+        out: Dict[str, float] = {}
+        if 'mAP' in metric:
+            mode = ('11points' if getattr(self, 'year', 2012) == 2007
+                    else 'area')
+            thr = iou_thr if isinstance(iou_thr, float) else float(iou_thr[0])
+            mAP, _ = eval_map(det_lists, anns, iou_thr=thr, mode=mode)
+            out['mAP'] = mAP
+        if 'recall' in metric:
+            from ..core import eval_recalls
+            thrs = [iou_thr] if isinstance(iou_thr, float) else list(iou_thr)
+            gt_bboxes = [a['bboxes'] for a in anns]
+            recalls = eval_recalls(gt_bboxes, raw_dets, proposal_nums, thrs)
+            for i, num in enumerate(proposal_nums):
+                for j, thr in enumerate(thrs):
+                    out[f'recall@{num}@{thr}'] = float(recalls[i, j])
+            if recalls.shape[1] > 1:
+                ar = recalls.mean(axis=1)
+                for i, num in enumerate(proposal_nums):
+                    out[f'AR@{num}'] = float(ar[i])
+        return out
 
 
 @DATASETS.register_module()

@@ -123,3 +123,54 @@ class TestWrappers:
         ds = ClassBalancedDataset(base, oversample_thr=0.9)
         assert len(ds) >= len(base)
         _ = ds[0]
+
+
+class TestVOC:
+    def _make_voc(self, tmp_path, n=3):
+        import cv2
+        rng = np.random.RandomState(0)
+        (tmp_path / 'JPEGImages').mkdir()
+        (tmp_path / 'Annotations').mkdir()
+        ids = []
+        for i in range(n):
+            img_id = f'{i:06d}'
+            ids.append(img_id)
+            img = rng.randint(0, 255, (100, 120, 3), np.uint8)
+            cv2.imwrite(str(tmp_path / 'JPEGImages' / f'{img_id}.jpg'), img)
+            objs = []
+            for _ in range(2):
+                x, y = rng.randint(1, 60, 2)
+                objs.append(f'''<object><name>car</name><difficult>0</difficult>
+                  <bndbox><xmin>{x}</xmin><ymin>{y}</ymin>
+                  <xmax>{x + 30}</xmax><ymax>{y + 25}</ymax></bndbox>
+                  </object>''')
+            xml = (f'<annotation><size><width>120</width>'
+                   f'<height>100</height></size>{"".join(objs)}</annotation>')
+            (tmp_path / 'Annotations' / f'{img_id}.xml').write_text(xml)
+        split = tmp_path / 'trainval.txt'
+        split.write_text('\n'.join(ids))
+        return str(split)
+
+    def test_map_and_recall_metrics(self, tmp_path):
+        from dynamask_tpu.data.voc import VOCDataset
+        split = self._make_voc(tmp_path)
+        ds = VOCDataset(ann_file=split, img_prefix=str(tmp_path),
+                        pipeline=[dict(type='LoadImageFromFile')],
+                        test_mode=True)
+        results = []
+        for idx in range(len(ds)):
+            ann = ds.get_ann_info(idx)
+            m = len(ann['bboxes'])
+            dets = np.concatenate(
+                [ann['bboxes'], 0.9 * np.ones((m, 1), np.float32)], 1)
+            results.append({'img_id': idx, 'dets': dets,
+                            'labels': ann['labels'],
+                            'valid': np.ones(m, bool)})
+        out = ds.evaluate(results, metric=['mAP', 'recall'],
+                          iou_thr=[0.5, 0.75])
+        # reference voc.py:23-76 surface: mAP + recall@N@thr + AR@N rows
+        assert out['mAP'] == pytest.approx(1.0, abs=1e-6)
+        assert out['recall@100@0.5'] == pytest.approx(1.0)
+        assert out['AR@100'] == pytest.approx(1.0)
+        # VOC2012 mode default (no VOC2007 in prefix)
+        assert ds.year == 2012
