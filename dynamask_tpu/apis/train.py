@@ -60,7 +60,8 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                    load_from: Optional[str] = None,
                    seed: int = 0,
                    max_steps_per_epoch: Optional[int] = None,
-                   devices=None) -> Any:
+                   devices=None,
+                   validate: bool = True) -> Any:
     """Full training per the config recipe. Returns the final TrainState.
 
     The train step is sharded over all local devices (data parallelism:
@@ -186,7 +187,8 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     log_interval = cfg.get('log_config', {}).get('interval', 50)
     ckpt_interval = cfg.get('checkpoint_config', {}).get('interval', 1)
     eval_cfg = cfg.get('evaluation') or {}
-    eval_interval = eval_cfg.get('interval', 0)
+    # --no-validate (reference root train.py) disables the EvalHook entirely
+    eval_interval = eval_cfg.get('interval', 0) if validate else 0
 
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)

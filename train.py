@@ -20,6 +20,15 @@ def parse_args():
     p.add_argument('--resume-from', help='checkpoint to resume from')
     p.add_argument('--load-from', help='checkpoint to load weights from')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--no-validate', action='store_true',
+                   help='skip checkpoint evaluation during training '
+                        '(reference train.py --no-validate)')
+    p.add_argument('--devices', type=int, default=None,
+                   help='train on the first N local devices (reference '
+                        '--gpus; default: all local devices)')
+    p.add_argument('--deterministic', action='store_true',
+                   help='accepted for reference-CLI compatibility; XLA/TPU '
+                        'execution is already deterministic for this model')
     p.add_argument('--max-steps-per-epoch', type=int, default=None,
                    help='truncate epochs (smoke runs)')
     p.add_argument('--launcher', choices=['none', 'jax'], default='none',
@@ -47,11 +56,17 @@ def main():
         cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.options))
     work_dir = args.work_dir or cfg.get('work_dir') or os.path.join(
         './work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    devices = None
+    if args.devices is not None:
+        import jax
+        devices = jax.local_devices()[:args.devices]
     train_detector(cfg, work_dir=work_dir,
                    resume_from=args.resume_from or cfg.get('resume_from'),
                    load_from=args.load_from or cfg.get('load_from'),
                    seed=args.seed,
-                   max_steps_per_epoch=args.max_steps_per_epoch)
+                   max_steps_per_epoch=args.max_steps_per_epoch,
+                   devices=devices,
+                   validate=not args.no_validate)
 
 
 if __name__ == '__main__':
