@@ -114,6 +114,104 @@ def single_device_test(det, variables, dataset, samples_per_gpu: int = 1,
     return results
 
 
+def aug_device_test(det, variables, dataset,
+                    scales: Optional[Sequence[Tuple[int, int]]] = None,
+                    flip: bool = True,
+                    mask_canvas: Optional[Tuple[int, int]] = None,
+                    mask_thr: float = 0.5,
+                    max_images: Optional[int] = None,
+                    progress: bool = True) -> List[Dict]:
+    """Test-time-augmentation eval loop: the CLI route to ``aug_test``
+    (reference: MultiScaleFlipAug test_time_aug.py:10 + BaseDetector
+    forward_test TTA dispatch, base.py:120-160; aug merging per
+    test_mixins.py:73,178). One image at a time (the reference's aug_test
+    also requires batch=1); each (scale, flip) variant re-runs the dataset
+    pipeline with the Resize target overridden, flips post-resize, and the
+    jitted ``aug_test`` merges boxes/masks across the variants.
+    """
+    from ..data.formatting import format_sample
+    from ..data.transforms import Resize
+
+    if mask_canvas is None:
+        mask_canvas = dataset_mask_canvas(dataset)
+    ch, cw = mask_canvas
+
+    base_ts = dataset.pipeline.transforms
+    scale_list: List[Optional[Tuple[int, int]]] = (
+        [tuple(s) for s in scales] if scales else [None])
+    aug_specs = [(s, f) for s in scale_list
+                 for f in ([False, True] if flip else [False])]
+    flips = tuple(f for _, f in aug_specs)
+    pipes = []
+    for s, _ in aug_specs:
+        ts = []
+        for t in base_ts:
+            if s is not None and isinstance(t, Resize):
+                ts.append(Resize(img_scale=s, keep_ratio=t.keep_ratio))
+            else:
+                ts.append(t)
+        pipes.append(ts)
+
+    @jax.jit
+    def fn(batches):
+        out = det.apply(variables, batches, list(flips), method='aug_test')
+        b, d = out['dets'].shape[:2]
+        probs = out['mask_probs']
+        boxes = out['dets'][..., :4].reshape(b * d, 4)
+        pasted = paste_masks(probs.reshape(b * d, *probs.shape[2:]),
+                             boxes, ch, cw)
+        masks = (pasted >= mask_thr).reshape(b, d, ch, cw)
+        return {'dets': out['dets'], 'labels': out['labels'],
+                'valid': out['det_valid'], 'masks': masks}
+
+    canvases = getattr(dataset, 'canvases', [(ch, cw)])
+    max_gts = getattr(dataset, 'max_gts', 100)
+    crop = getattr(dataset, 'mask_crop_size', 128)
+    results = []
+    t0 = time.time()
+    n = len(dataset) if max_images is None else min(len(dataset),
+                                                    max_images)
+    for idx in range(n):
+        info = dataset.img_infos[idx]
+        batches = []
+        ori_shape = None
+        for (s, f), ts in zip(aug_specs, pipes):
+            r: Dict = {'img_info': info, 'img_prefix': dataset.img_prefix,
+                       'img_id': idx}
+            for t in ts:
+                r = t(r)
+            if f:
+                # flip the resized (pre-canvas) region: MultiScaleFlipAug
+                # order (flip after Resize, before Pad)
+                fh, fw = (np.asarray(r['img_shape'][:2]).astype(int)
+                          if 'img_shape' in r else r['img'].shape[:2])
+                r['img'] = np.ascontiguousarray(r['img'])
+                r['img'][:fh, :fw] = r['img'][:fh, :fw][:, ::-1]
+                r['flip'] = True
+            sample = format_sample(r, canvases, max_gts, crop)
+            ori_shape = sample['ori_shape']
+            batches.append({k: jnp.asarray(v)[None]
+                            for k, v in sample.items()})
+        out = jax.device_get(fn(batches))
+        ori_h, ori_w = np.asarray(ori_shape).astype(int)
+        masks = [out['masks'][0, d, :ori_h, :ori_w]
+                 for d in range(out['masks'].shape[1])]
+        results.append({
+            'img_id': int(info.get('id', idx)),
+            'dets': out['dets'][0],
+            'labels': out['labels'][0],
+            'valid': out['valid'][0].astype(bool),
+            'masks': masks,
+        })
+        if progress and (idx + 1) % 20 == 0:
+            fps = (idx + 1) / max(time.time() - t0, 1e-6)
+            print(f'\r{idx + 1} imgs (x{len(aug_specs)} augs), '
+                  f'{fps:.1f} img/s', end='', flush=True)
+    if progress:
+        print()
+    return results
+
+
 def multi_device_test(det, variables, dataset, samples_per_device: int = 1,
                       mask_canvas: Optional[Tuple[int, int]] = None,
                       mask_thr: float = 0.5,

@@ -36,6 +36,13 @@ def parse_args():
                    help='data-parallel eval over N devices '
                         '(reference multi_gpu_test)')
     p.add_argument('--max-images', type=int, default=None)
+    p.add_argument('--tta', action='store_true',
+                   help='test-time augmentation: flip (+ --tta-scales) '
+                        'variants merged via aug_test (reference '
+                        'MultiScaleFlipAug + forward_test TTA routing)')
+    p.add_argument('--tta-scales', type=int, nargs='+', default=None,
+                   help='extra TTA scales as flat h w pairs, e.g. '
+                        '--tta-scales 800 1333 1000 1666')
     p.add_argument('--classwise', action='store_true',
                    help='print per-category AP table (reference '
                         'coco.py:496-516 classwise eval option)')
@@ -83,7 +90,8 @@ def main():
     args = parse_args()
     from dynamask_tpu.utils.config import Config
     from dynamask_tpu.apis.inference import init_detector
-    from dynamask_tpu.apis.test import single_device_test, multi_device_test
+    from dynamask_tpu.apis.test import (single_device_test,
+                                        multi_device_test, aug_device_test)
     from dynamask_tpu.data import build_dataset
 
     cfg = Config.fromfile(args.config)
@@ -98,7 +106,16 @@ def main():
         print(f'fused {n} conv+bn pairs')
     dataset = build_dataset(dict(cfg.data['test']),
                             default_args=dict(test_mode=True))
-    if args.devices > 1:
+    if args.tta:
+        scales = None
+        if args.tta_scales:
+            assert len(args.tta_scales) % 2 == 0, '--tta-scales wants pairs'
+            scales = [tuple(args.tta_scales[i:i + 2])
+                      for i in range(0, len(args.tta_scales), 2)]
+        results = aug_device_test(model.det, variables, dataset,
+                                  scales=scales,
+                                  max_images=args.max_images)
+    elif args.devices > 1:
         results = multi_device_test(model.det, variables, dataset,
                                     max_images=args.max_images)
     else:
