@@ -19,6 +19,20 @@ import numpy as np
 from ..ops.paste import paste_masks
 
 
+def _paste_epilogue(out: Dict, ch: int, cw: int, mask_thr: float) -> Dict:
+    """Shared det→canvas-mask epilogue: paste per-RoI mask probs onto the
+    static canvas and threshold on device (one copy for simple_test and
+    aug_test so the two paths cannot diverge)."""
+    b, d = out['dets'].shape[:2]
+    probs = out['mask_probs']
+    boxes = out['dets'][..., :4].reshape(b * d, 4)
+    pasted = paste_masks(probs.reshape(b * d, *probs.shape[2:]),
+                         boxes, ch, cw)
+    masks = (pasted >= mask_thr).reshape(b, d, ch, cw)
+    return {'dets': out['dets'], 'labels': out['labels'],
+            'valid': out['det_valid'], 'masks': masks}
+
+
 def make_test_fn(det, variables, mask_canvas: Tuple[int, int],
                  mask_thr: float = 0.5, bf16: bool = False):
     """Build the jitted full test step: simple_test + device-side pasting.
@@ -39,14 +53,7 @@ def make_test_fn(det, variables, mask_canvas: Tuple[int, int],
             batch = dict(batch)
             batch['image'] = batch['image'].astype(jnp.bfloat16)
         out = det.apply(variables, batch, method='simple_test')
-        b, d = out['dets'].shape[:2]
-        probs = out['mask_probs']
-        boxes = out['dets'][..., :4].reshape(b * d, 4)
-        pasted = paste_masks(probs.reshape(b * d, *probs.shape[2:]),
-                             boxes, ch, cw)
-        masks = (pasted >= mask_thr).reshape(b, d, ch, cw)
-        return {'dets': out['dets'], 'labels': out['labels'],
-                'valid': out['det_valid'], 'masks': masks}
+        return _paste_epilogue(out, ch, cw, mask_thr)
 
     return fn
 
@@ -120,6 +127,7 @@ def aug_device_test(det, variables, dataset,
                     mask_canvas: Optional[Tuple[int, int]] = None,
                     mask_thr: float = 0.5,
                     max_images: Optional[int] = None,
+                    bf16: bool = False,
                     progress: bool = True) -> List[Dict]:
     """Test-time-augmentation eval loop: the CLI route to ``aug_test``
     (reference: MultiScaleFlipAug test_time_aug.py:10 + BaseDetector
@@ -152,17 +160,17 @@ def aug_device_test(det, variables, dataset,
                 ts.append(t)
         pipes.append(ts)
 
+    if bf16:
+        from ..core.fp16 import to_bf16
+        variables = to_bf16(variables)
+
     @jax.jit
     def fn(batches):
+        if bf16:
+            batches = [dict(b, image=b['image'].astype(jnp.bfloat16))
+                       for b in batches]
         out = det.apply(variables, batches, list(flips), method='aug_test')
-        b, d = out['dets'].shape[:2]
-        probs = out['mask_probs']
-        boxes = out['dets'][..., :4].reshape(b * d, 4)
-        pasted = paste_masks(probs.reshape(b * d, *probs.shape[2:]),
-                             boxes, ch, cw)
-        masks = (pasted >= mask_thr).reshape(b, d, ch, cw)
-        return {'dets': out['dets'], 'labels': out['labels'],
-                'valid': out['det_valid'], 'masks': masks}
+        return _paste_epilogue(out, ch, cw, mask_thr)
 
     canvases = getattr(dataset, 'canvases', [(ch, cw)])
     max_gts = getattr(dataset, 'max_gts', 100)
@@ -172,12 +180,13 @@ def aug_device_test(det, variables, dataset,
     n = len(dataset) if max_images is None else min(len(dataset),
                                                     max_images)
     for idx in range(n):
-        info = dataset.img_infos[idx]
         batches = []
         ori_shape = None
         for (s, f), ts in zip(aug_specs, pipes):
-            r: Dict = {'img_info': info, 'img_prefix': dataset.img_prefix,
-                       'img_id': idx}
+            # dataset.pre_pipeline seeds the results dict exactly like
+            # __getitem__ (img_info/img_prefix/img_id + proposals for
+            # proposal_file configs); fresh per aug since transforms mutate
+            r: Dict = dataset.pre_pipeline(idx)
             for t in ts:
                 r = t(r)
             if f:
@@ -188,7 +197,10 @@ def aug_device_test(det, variables, dataset,
                 r['img'] = np.ascontiguousarray(r['img'])
                 r['img'][:fh, :fw] = r['img'][:fh, :fw][:, ::-1]
                 r['flip'] = True
-            sample = format_sample(r, canvases, max_gts, crop)
+            sample = format_sample(
+                r, canvases, max_gts, crop,
+                with_semantic=getattr(dataset, 'with_semantic', False),
+                max_proposals=getattr(dataset, 'max_proposals', 1000))
             ori_shape = sample['ori_shape']
             batches.append({k: jnp.asarray(v)[None]
                             for k, v in sample.items()})
@@ -197,7 +209,7 @@ def aug_device_test(det, variables, dataset,
         masks = [out['masks'][0, d, :ori_h, :ori_w]
                  for d in range(out['masks'].shape[1])]
         results.append({
-            'img_id': int(info.get('id', idx)),
+            'img_id': int(dataset.sample_id(idx)),
             'dets': out['dets'][0],
             'labels': out['labels'][0],
             'valid': out['valid'][0].astype(bool),

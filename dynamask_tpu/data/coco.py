@@ -168,7 +168,7 @@ class CocoDataset:
             bboxes_ignore=np.asarray(boxes_ignore, np.float32).reshape(-1, 4),
             masks=masks)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def pre_pipeline(self, idx: int) -> Dict:
         info = self.img_infos[idx]
         results = {
             'img_info': info,
@@ -177,6 +177,13 @@ class CocoDataset:
         }
         if self.proposals is not None:
             results['proposals'] = self.proposals[info['id']].copy()
+        return results
+
+    def sample_id(self, idx: int) -> int:
+        return int(self.img_infos[idx]['id'])
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        results = self.pre_pipeline(idx)
         if not self.test_mode:
             results['ann_info'] = self.get_ann_info(idx)
         results = self.pipeline(results)
@@ -184,7 +191,7 @@ class CocoDataset:
                                self.mask_crop_size,
                                with_semantic=self.with_semantic,
                                max_proposals=self.max_proposals)
-        sample['img_id'] = np.array(info['id'], np.int64)
+        sample['img_id'] = np.array(self.sample_id(idx), np.int64)
         return sample
 
     # ----------------------------------------------------------- evaluation
@@ -232,8 +239,14 @@ class CocoDataset:
         by_id = {int(r['img_id']): r for r in results}
         gts, props = [], []
         for info in self.img_infos:
+            # same filtering as get_ann_info (reference fast_eval_recall
+            # goes through get_ann_info): configured-class subset only,
+            # no crowd/ignore, no degenerate (<1px) boxes
             boxes = [a['bbox'] for a in self.coco.img_anns.get(info['id'], [])
-                     if not (a.get('iscrowd', 0) or a.get('ignore', 0))]
+                     if not (a.get('iscrowd', 0) or a.get('ignore', 0))
+                     and a.get('category_id') in self.cat2label
+                     and a['bbox'][2] >= 1 and a['bbox'][3] >= 1
+                     and a.get('area', a['bbox'][2] * a['bbox'][3]) > 0]
             b = np.asarray(boxes, np.float32).reshape(-1, 4)
             gts.append(np.concatenate([b[:, :2], b[:, :2] + b[:, 2:]],
                                       axis=1))

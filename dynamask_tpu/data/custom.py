@@ -102,10 +102,21 @@ class CustomDataset:
             out['masks'] = [None] * len(boxes)
         return out
 
+    def pre_pipeline(self, idx: int) -> Dict:
+        """Seed the pipeline ``results`` dict (reference custom.py
+        pre_pipeline). Shared by ``__getitem__`` and external pipeline
+        drivers (TTA's per-aug re-runs in ``apis/test.py``)."""
+        return {'img_info': self.img_infos[idx],
+                'img_prefix': self.img_prefix, 'img_id': idx}
+
+    def sample_id(self, idx: int) -> int:
+        """The integer id emitted as a result's ``img_id`` — what this
+        dataset's ``evaluate`` expects back (the dataset index here;
+        CocoDataset overrides with the COCO image id)."""
+        return idx
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        info = self.img_infos[idx]
-        results = {'img_info': info, 'img_prefix': self.img_prefix,
-                   'img_id': idx}
+        results = self.pre_pipeline(idx)
         if not self.test_mode:
             results['ann_info'] = self.get_ann_info(idx)
         results = self.pipeline(results)
@@ -113,7 +124,7 @@ class CustomDataset:
             results.pop('gt_masks')
         sample = format_sample(results, self.canvases, self.max_gts,
                                self.mask_crop_size)
-        sample['img_id'] = np.array(idx, np.int64)
+        sample['img_id'] = np.array(self.sample_id(idx), np.int64)
         return sample
 
     def evaluate(self, results: List[Dict], metric=('mAP',),

@@ -109,10 +109,18 @@ class XMLDataset:
             labels_ignore=np.asarray(labels_ig, np.int64),
             masks=[None] * len(boxes))
 
+    def pre_pipeline(self, idx: int) -> Dict:
+        """Seed the pipeline results dict (reference custom.py
+        pre_pipeline contract — see CustomDataset.pre_pipeline)."""
+        return {'img_info': self.img_infos[idx],
+                'img_prefix': self.img_prefix, 'img_id': idx}
+
+    def sample_id(self, idx: int) -> int:
+        """Result img_id = dataset index (what evaluate() expects back)."""
+        return idx
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        info = self.img_infos[idx]
-        results = {'img_info': info, 'img_prefix': self.img_prefix,
-                   'img_id': idx}
+        results = self.pre_pipeline(idx)
         if not self.test_mode:
             results['ann_info'] = self.get_ann_info(idx)
         results = self.pipeline(results)
@@ -120,7 +128,7 @@ class XMLDataset:
             results.pop('gt_masks')
         sample = format_sample(results, self.canvases, self.max_gts,
                                self.mask_crop_size)
-        sample['img_id'] = np.array(idx, np.int64)
+        sample['img_id'] = np.array(self.sample_id(idx), np.int64)
         return sample
 
     def evaluate(self, results: List[Dict], metric=('mAP',),
@@ -130,6 +138,14 @@ class XMLDataset:
         voc.py:23-76 evaluate, metrics 'mAP' and 'recall')."""
         if isinstance(metric, str):
             metric = [metric]
+        # 'bbox' aliases 'mAP' so the generic CLI default (--eval bbox)
+        # works; anything else unsupported raises like the reference
+        # (voc.py allowed_metrics = ['mAP', 'recall']).
+        metric = ['mAP' if m == 'bbox' else m for m in metric]
+        bad = [m for m in metric if m not in ('mAP', 'recall')]
+        if bad:
+            raise KeyError(f'metric {bad} is not supported for VOC-style '
+                           "datasets (use 'mAP' or 'recall')")
         det_lists = []
         anns = []
         raw_dets = []
@@ -144,10 +160,11 @@ class XMLDataset:
                 per_cls.append(dets[sel])
             det_lists.append(per_cls)
             anns.append(self.get_ann_info(idx))
-            d = dets[valid]
-            if len(d):
-                d = d[np.argsort(-d[:, 4], kind='mergesort')]
-            raw_dets.append(d)
+            if 'recall' in metric:  # only the recall branch consumes these
+                d = dets[valid]
+                if len(d):
+                    d = d[np.argsort(-d[:, 4], kind='mergesort')]
+                raw_dets.append(d)
         out: Dict[str, float] = {}
         if 'mAP' in metric:
             mode = ('11points' if getattr(self, 'year', 2012) == 2007

@@ -57,20 +57,41 @@ def collect_env() -> Dict[str, str]:
 _PROFILE_TOTALS: Dict[str, list] = defaultdict(lambda: [0.0, 0])
 
 
+class _ProfileScope:
+    """Handle yielded by ``profile_time``; assign the scope's device outputs
+    to ``.out`` so exit can block on them."""
+
+    out = None
+
+
 @contextlib.contextmanager
 def profile_time(name: str, stream=None, end_stream=None,
                  trace_name: Optional[str] = None, verbose: bool = True):
-    """Wall-clock scope that blocks on ``stream`` (a jax array / pytree) at
-    exit so async TPU dispatch is included, mirroring the reference's
-    CUDA-event pairs (profiling.py:9-39). Totals accumulate per name.
+    """Wall-clock scope that blocks on device work at exit so async TPU
+    dispatch is included, mirroring the reference's CUDA-event pairs
+    (profiling.py:9-39). Totals accumulate per name.
+
+    To time device work launched *inside* the scope, assign its outputs to
+    the yielded handle (the only arrays a sync can wait on)::
+
+        with profile_time('fwd') as p:
+            p.out = model(x)
+
+    ``end_stream`` may be a pytree or a zero-arg callable resolved at exit
+    (the reference's end-event analogue). ``stream`` is also blocked on at
+    exit, but note an array that already exists when the scope opens is
+    usually already ready — prefer ``p.out``/``end_stream`` for outputs.
     """
+    scope = _ProfileScope()
     t0 = time.perf_counter()
     try:
-        yield
+        yield scope
     finally:
-        if stream is not None:
+        targets = [t() if callable(t) else t
+                   for t in (scope.out, end_stream, stream) if t is not None]
+        if targets:
             import jax
-            jax.block_until_ready(stream)
+            jax.block_until_ready(targets)
         dt = time.perf_counter() - t0
         tot = _PROFILE_TOTALS[name]
         tot[0] += dt

@@ -12,8 +12,15 @@ set -euo pipefail
 
 CONFIG=$1
 CHECKPOINT=$2
-DEVICES=${3:-0}
-if [[ $# -ge 3 ]]; then shift 3; else shift 2; fi
+# NUM_DEVICES is optional: only consume $3 when it is numeric, so
+# `dist_test.sh cfg ckpt --eval bbox` passes the flags through untouched
+if [[ $# -ge 3 && $3 =~ ^[0-9]+$ ]]; then
+  DEVICES=$3
+  shift 3
+else
+  DEVICES=0
+  shift 2
+fi
 
 if [[ "$DEVICES" == "0" ]]; then
   DEVICES=$(python -c 'import jax; print(jax.local_device_count())')

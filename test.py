@@ -19,7 +19,8 @@ def parse_args():
     p.add_argument('checkpoint', nargs='?', default=None,
                    help='checkpoint dir (omit for random weights smoke)')
     p.add_argument('--eval', nargs='+', default=['bbox'],
-                   choices=['bbox', 'segm', 'proposal', 'proposal_fast'])
+                   choices=['bbox', 'segm', 'proposal', 'proposal_fast',
+                            'mAP', 'recall'])
     p.add_argument('--out', help='dump raw results json')
     p.add_argument('--format-only', action='store_true',
                    help='format results (json dump) without evaluating '
@@ -63,7 +64,10 @@ def _render_results(args, cfg, dataset, results, classes):
               'skipping display', file=sys.stderr)
         return
     img_prefix = dict(cfg.data['test']).get('img_prefix', '')
-    by_id = {info['id']: info for info in dataset.img_infos}
+    # key by the same id the test loop emitted (dataset.sample_id: COCO
+    # image id for coco-style datasets, dataset index otherwise)
+    by_id = {int(dataset.sample_id(i)): info
+             for i, info in enumerate(dataset.img_infos)}
     num_classes = len(classes)
     for res in results:
         info = by_id.get(res['img_id'])
@@ -116,24 +120,39 @@ def main():
                                   scales=scales,
                                   max_images=args.max_images)
     elif args.devices > 1:
+        import jax
         results = multi_device_test(model.det, variables, dataset,
+                                    devices=jax.devices()[:args.devices],
                                     max_images=args.max_images)
     else:
         results = single_device_test(model.det, variables, dataset,
                                      max_images=args.max_images)
     if args.out or args.format_only:
-        det_json, segm_json = dataset.results2json(results)
-        out_path = args.out or 'results.json'
-        with open(out_path, 'w') as f:
-            json.dump({'bbox': det_json, 'segm': segm_json}, f)
-        print(f'results written to {out_path}')
+        if hasattr(dataset, 'results2json'):
+            det_json, segm_json = dataset.results2json(results)
+            out_path = args.out or 'results.json'
+            with open(out_path, 'w') as f:
+                json.dump({'bbox': det_json, 'segm': segm_json}, f)
+            print(f'results written to {out_path}')
+        else:
+            print('warning: this dataset has no results2json '
+                  '(COCO-format only); skipping --out/--format-only',
+                  file=sys.stderr)
     if args.show or args.show_dir:
         classes = getattr(dataset, 'CLASSES',
                           [str(i) for i in range(1000)])
         _render_results(args, cfg, dataset, results, classes)
     if args.format_only:
         return
-    eval_kw = {'classwise': True} if args.classwise else {}
+    eval_kw = {}
+    if args.classwise:
+        import inspect
+        if 'classwise' in inspect.signature(dataset.evaluate).parameters:
+            eval_kw['classwise'] = True
+        else:
+            print('warning: --classwise is not supported by '
+                  f'{type(dataset).__name__}.evaluate; ignoring',
+                  file=sys.stderr)
     metrics = dataset.evaluate(results, metric=args.eval, **eval_kw)
     for k, v in metrics.items():
         print(f'{k}: {v:.4f}')

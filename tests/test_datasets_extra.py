@@ -174,3 +174,48 @@ class TestVOC:
         assert out['AR@100'] == pytest.approx(1.0)
         # VOC2012 mode default (no VOC2007 in prefix)
         assert ds.year == 2012
+
+    def test_bbox_aliases_map_and_bad_metric_raises(self, tmp_path):
+        """CLI default --eval bbox must work on VOC (aliased to mAP);
+        unsupported metrics raise like the reference (allowed_metrics)."""
+        from dynamask_tpu.data.voc import VOCDataset
+        split = self._make_voc(tmp_path)
+        ds = VOCDataset(ann_file=split, img_prefix=str(tmp_path),
+                        pipeline=[dict(type='LoadImageFromFile')],
+                        test_mode=True)
+        ann = ds.get_ann_info(0)
+        m = len(ann['bboxes'])
+        res = [{'img_id': 0,
+                'dets': np.concatenate(
+                    [ann['bboxes'], np.ones((m, 1), np.float32)], 1),
+                'labels': ann['labels'], 'valid': np.ones(m, bool)}]
+        out = ds.evaluate(res, metric=['bbox'])
+        assert 'mAP' in out
+        with pytest.raises(KeyError):
+            ds.evaluate(res, metric=['segm'])
+
+    def test_sample_id_contract(self, tmp_path):
+        """sample_id(idx) must equal the img_id the loader emits, per
+        dataset family (dataset index for XML/custom, COCO id for coco) —
+        the id aug_device_test/_render_results key on."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_data import make_synthetic_coco
+        from dynamask_tpu.data.voc import VOCDataset
+        from dynamask_tpu.data import build_dataset
+
+        split = self._make_voc(tmp_path)
+        voc = VOCDataset(ann_file=split, img_prefix=str(tmp_path),
+                         pipeline=[dict(type='LoadImageFromFile')],
+                         test_mode=True)
+        assert voc.sample_id(1) == 1
+        assert voc.pre_pipeline(1)['img_id'] == 1
+
+        ann_file, img_dir = make_synthetic_coco(tmp_path, num_imgs=2)
+        coco = build_dataset(dict(
+            type='CocoDataset', ann_file=ann_file, img_prefix=img_dir,
+            pipeline=[dict(type='LoadImageFromFile')], test_mode=True))
+        for i in range(len(coco)):
+            info_id = int(coco.img_infos[i]['id'])
+            assert coco.sample_id(i) == info_id
+            assert coco.pre_pipeline(i)['img_id'] == info_id

@@ -341,11 +341,16 @@ class TestUtilsTail:
     def test_profile_time_blocks_and_accumulates(self, capsys):
         from dynamask_tpu.utils import profile_time, profile_summary
         x = jnp.ones((8, 8))
-        with profile_time('toy_scope', stream=x):
-            y = x * 2
+        with profile_time('toy_scope') as p:
+            p.out = x * 2  # scope blocks on the OUTPUT at exit
         out = capsys.readouterr().out
         assert 'toy_scope' in out and 'ms' in out
         assert profile_summary()['toy_scope'] >= 0.0
+        # end_stream callable form (resolved at exit)
+        ys = []
+        with profile_time('toy_scope2', end_stream=lambda: ys, verbose=False):
+            ys.append(x + 1)
+        assert profile_summary()['toy_scope2'] >= 0.0
 
     def test_nice_repr(self):
         from dynamask_tpu.utils import NiceRepr
