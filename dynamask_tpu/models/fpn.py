@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..utils.registry import NECKS
-from .layers import max_pool, resize_nearest_2x
+from .layers import conv_space_to_batch_w, max_pool, resize_nearest_2x
 
 _xavier_uniform = nn.initializers.variance_scaling(1.0, 'fan_avg', 'uniform')
 
@@ -67,14 +67,24 @@ class FPN(nn.Module):
             up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2], :]
             laterals[i - 1] = laterals[i - 1] + up
 
-        outs = [
-            self._n(nn.Conv(self.out_channels, (3, 3),
-                            padding=[(1, 1), (1, 1)],
-                            kernel_init=_xavier_uniform, use_bias=use_bias,
-                            name=f'fpn_conv_{i}')(laterals[i]),
-                    f'fpn_gn_{i}', train=train)
-            for i in range(num_laterals)
-        ]
+        # big levels run the 3x3 out conv W-banded (batch sublanes full);
+        # without this the downstream RPN/RoI flattens block XLA's own
+        # space-to-batch rewrite and the P2/P3 convs run 4x slow — see
+        # conv_space_to_batch_w. Norm layers have cross-spatial stats, so
+        # the rewrite only applies on the norm-free (default) configs.
+        out_convs = [nn.Conv(self.out_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=_xavier_uniform, use_bias=use_bias,
+                             name=f'fpn_conv_{i}')
+                     for i in range(num_laterals)]
+        if self.norm is None:
+            outs = [conv_space_to_batch_w(laterals[i], out_convs[i], halo=1)
+                    for i in range(num_laterals)]
+        else:
+            outs = [
+                self._n(out_convs[i](laterals[i]), f'fpn_gn_{i}', train=train)
+                for i in range(num_laterals)
+            ]
 
         # extra levels (fpn.py:160-176)
         if self.num_outs > len(outs):

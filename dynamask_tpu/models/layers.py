@@ -101,6 +101,64 @@ class WSConv(nn.Module):
         return y
 
 
+def conv_space_to_batch_w(x: jnp.ndarray, apply_fn: Callable,
+                          halo: int = 1, nb: int = 8,
+                          min_elems: int = 2_000_000):
+    """Run a stride-1 SAME conv chain with W split into ``nb`` batch bands.
+
+    TPU perf workaround, found by device tracing: XLA's own space-to-batch
+    rewrite turns a batch-1 conv into an 8-band batched conv (sublanes full,
+    ~4x faster at the 800x1344 P2 shape) — but the pass bails whenever the
+    conv output also feeds a 2D flatten (`reshape(B, -1)`), which is exactly
+    what the RPN score path and RoI-extractor do to the P2/P3 planes. The
+    result is the conv running in a degenerate `{3,0,2,1:T(2,128)}` layout
+    (batch=1 padded into the sublane dim): measured 2.2 ms vs 0.57 ms for
+    the identical 3x3 256->256 conv at (1,200,336,256) bf16 on v5e.
+
+    This helper performs the same rewrite by construction: W is split into
+    ``nb`` bands with ``halo`` columns of real neighbour data on each side,
+    bands are stacked on the batch axis, ``apply_fn`` runs once on the
+    banded tensor, and the interior of each band is merged back. With SAME
+    zero-padding the outermost ``halo`` output columns of each band are the
+    only ones computed from padding instead of neighbour data, and exactly
+    those are discarded — the merged result is bit-identical to
+    ``apply_fn(x)`` for any chain of stride-1 convs (+ pointwise ops) whose
+    total receptive-field halo is <= ``halo``.
+
+    NOT safe for ops with cross-spatial statistics (GroupNorm, train-mode
+    BatchNorm) — callers gate on that. Differentiable (slice/concat/conv).
+
+    Args:
+        x: (B, H, W, C).
+        apply_fn: callable applied to the banded (nb*B, H, bw+2*halo, C)
+            tensor; may return a pytree of maps with the same H/W extents.
+        halo: total receptive halo of the conv chain (1 per 3x3 conv).
+        nb: number of bands; W must divide evenly or the call falls through.
+        min_elems: skip the rewrite for small planes (deep pyramid levels)
+            where band bookkeeping costs more than the layout win.
+
+    Returns:
+        pytree like ``apply_fn(x)``.
+    """
+    b, h, w, c = x.shape
+    bw = w // nb
+    if (w % nb) or (b * h * w * c < min_elems) or (bw <= 2 * halo):
+        return apply_fn(x)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0)))
+    bands = [jax.lax.slice_in_dim(xp, k * bw, k * bw + bw + 2 * halo, axis=2)
+             for k in range(nb)]
+    yb = apply_fn(jnp.concatenate(bands, 0))
+
+    def merge(yl):
+        nbb, hh, bwh, cc = yl.shape
+        inner = yl[:, :, halo:bwh - halo, :] if halo else yl
+        y = inner.reshape(nb, b, hh, bwh - 2 * halo, cc)
+        return y.transpose(1, 2, 0, 3, 4).reshape(b, hh, nb * (bwh - 2 * halo),
+                                                  cc)
+
+    return jax.tree_util.tree_map(merge, yb)
+
+
 def max_pool(x: jnp.ndarray, window: int, stride: int,
              padding: Union[int, str] = 0) -> jnp.ndarray:
     """Max pool over NHWC."""

@@ -25,7 +25,7 @@ from ..core.assigners import MaxIoUAssigner
 from ..core.samplers import RandomSampler
 from ..core.bbox_transforms import bbox2delta, delta2bbox, clip_boxes
 from ..ops.nms import batched_nms
-from .layers import normal_init
+from .layers import conv_space_to_batch_w, normal_init
 from .losses import binary_cross_entropy_with_logits, l1_loss
 
 
@@ -54,11 +54,18 @@ class RPNHead(nn.Module):
                       kernel_init=normal_init(0.01), name='rpn_cls')
         reg = nn.Conv(self.num_anchors * 4, (1, 1),
                       kernel_init=normal_init(0.01), name='rpn_reg')
+        def tower(x):
+            t = nn.relu(conv(x))
+            return cls(t), reg(t)
+
         cls_scores, bbox_preds = [], []
         for x in feats:
-            t = nn.relu(conv(x))
-            cls_scores.append(cls(t))
-            bbox_preds.append(reg(t))
+            # W-banded tower on big levels: the (B,-1) score flatten
+            # downstream otherwise blocks XLA's space-to-batch rewrite and
+            # the P2/P3 convs run 4x slow (see conv_space_to_batch_w)
+            cs, bp = conv_space_to_batch_w(x, tower, halo=1)
+            cls_scores.append(cs)
+            bbox_preds.append(bp)
         return cls_scores, bbox_preds
 
 

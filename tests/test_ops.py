@@ -413,3 +413,55 @@ class TestSeparableRoIAlign:
                                       sampling_ratio=s)
             np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_matches_gather_path_tall_plane(self):
+        # H > W exercises the y-first contraction branch (the wide-plane
+        # branch contracts x first to shrink the materialized intermediate)
+        from dynamask_tpu.ops.roi_align import roi_align, roi_align_separable
+        key = jax.random.PRNGKey(1)
+        feats = jax.random.normal(key, (1, 42, 25, 16), jnp.float32)
+        rois = jnp.asarray([[0., 0., 60., 80.],
+                            [-10., -5., 30., 30.],
+                            [40., 100., 99., 160.]])
+        rb = jnp.zeros(3, jnp.int32)
+        for s in (1, 2):
+            ref = roi_align(feats, rois, rb, 56, 0.25, sampling_ratio=s)
+            got = roi_align_separable(feats, rois, 56, 0.25,
+                                      sampling_ratio=s)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestConvSpaceToBatchW:
+    def test_banded_conv_chain_exact(self):
+        # banded == direct for a 3x3 SAME + relu + 1x1 chain (halo 1);
+        # plane big enough to clear the min_elems gate
+        import flax.linen as nn
+        from dynamask_tpu.models.layers import conv_space_to_batch_w
+
+        class Tower(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                t = nn.relu(nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)],
+                                    name='c3')(x))
+                return nn.Conv(3, (1, 1), name='c1')(t), \
+                    nn.Conv(12, (1, 1), name='c1b')(t)
+
+        m = Tower()
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 128, 256),
+                              jnp.float32)
+        v = m.init(jax.random.PRNGKey(1), x)
+        direct = m.apply(v, x)
+        banded = conv_space_to_batch_w(
+            x, lambda xx: m.apply(v, xx), halo=1, nb=8, min_elems=1)
+        for d, b in zip(direct, banded):
+            assert d.shape == b.shape
+            np.testing.assert_allclose(np.asarray(d), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_fallthrough_on_indivisible_width(self):
+        from dynamask_tpu.models.layers import conv_space_to_batch_w
+        x = jnp.ones((1, 8, 30, 4))
+        out = conv_space_to_batch_w(x, lambda xx: xx * 2, halo=1, nb=8,
+                                    min_elems=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x * 2))
