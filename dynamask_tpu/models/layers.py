@@ -122,8 +122,16 @@ def conv_space_to_batch_w(x: jnp.ndarray, apply_fn: Callable,
     zero-padding the outermost ``halo`` output columns of each band are the
     only ones computed from padding instead of neighbour data, and exactly
     those are discarded — the merged result is bit-identical to
-    ``apply_fn(x)`` for any chain of stride-1 convs (+ pointwise ops) whose
-    total receptive-field halo is <= ``halo``.
+    ``apply_fn(x)`` when ``apply_fn`` contains exactly ONE stride-1 spatial
+    conv layer of receptive radius <= ``halo`` (plus any pointwise ops /
+    1x1 convs before or after it).
+
+    NOT exact for chains of several spatial convs in one call: the direct
+    computation re-applies SAME zero-padding at every layer, while a banded
+    chain would feed layer k the layer-(k-1) output of the halo columns —
+    at the true image edges those differ (bias+relu make conv(0) != 0).
+    Band each spatial conv separately instead (the band/merge copies are
+    ~0.03 ms at pyramid-level sizes, far below the layout win).
 
     NOT safe for ops with cross-spatial statistics (GroupNorm, train-mode
     BatchNorm) — callers gate on that. Differentiable (slice/concat/conv).

@@ -20,7 +20,7 @@ from ..core.anchors import AnchorGenerator
 from ..core.assigners import MaxIoUAssigner
 from ..core.bbox_transforms import bbox2delta, delta2bbox, clip_boxes
 from ..ops.nms import multiclass_nms
-from .layers import normal_init
+from .layers import conv_space_to_batch_w, normal_init
 from .losses import l1_loss
 
 
@@ -57,16 +57,24 @@ class RetinaHead(nn.Module):
                              padding=[(1, 1), (1, 1)],
                              kernel_init=normal_init(0.01),
                              name='retina_reg')
+        def banded(x, conv, act=True):
+            # per-conv W banding on big levels (exact only one spatial conv
+            # per call — see conv_space_to_batch_w): the score flattens
+            # downstream otherwise block XLA's space-to-batch rewrite and
+            # the tower convs run 4x slow in a batch-1 sublane layout
+            f = ((lambda t: nn.relu(conv(t))) if act else conv)
+            return conv_space_to_batch_w(x, f, halo=1)
+
         cls_scores, bbox_preds = [], []
         for x in feats:
             c = x
             for conv in cls_convs:
-                c = nn.relu(conv(c))
+                c = banded(c, conv)
             r = x
             for conv in reg_convs:
-                r = nn.relu(conv(r))
-            cls_scores.append(retina_cls(c))
-            bbox_preds.append(retina_reg(r))
+                r = banded(r, conv)
+            cls_scores.append(banded(c, retina_cls, act=False))
+            bbox_preds.append(banded(r, retina_reg, act=False))
         return cls_scores, bbox_preds
 
 

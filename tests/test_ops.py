@@ -465,3 +465,42 @@ class TestConvSpaceToBatchW:
         out = conv_space_to_batch_w(x, lambda xx: xx * 2, halo=1, nb=8,
                                     min_elems=1)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x * 2))
+
+    def test_banded_deep_tower_per_conv_exact(self):
+        # stacked 3x3 chains must band PER CONV: a single banded call over
+        # the whole chain differs at the true image edges (the direct path
+        # re-applies SAME zero padding at every layer), while per-conv
+        # banding is exact — the RetinaHead tower pattern
+        import flax.linen as nn
+        from dynamask_tpu.models.layers import conv_space_to_batch_w
+
+        class Deep(nn.Module):
+            banded: bool = False
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(3):
+                    conv = nn.Conv(24, (3, 3), padding=[(1, 1), (1, 1)],
+                                   name=f'c{i}')
+                    if self.banded:
+                        x = conv_space_to_batch_w(
+                            x, lambda t, c=conv: nn.relu(c(t)), halo=1,
+                            nb=8, min_elems=1)
+                    else:
+                        x = nn.relu(conv(x))
+                return x
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 40, 64, 24),
+                              jnp.float32)
+        v = Deep().init(jax.random.PRNGKey(3), x)
+        direct = Deep().apply(v, x)
+        banded = Deep(banded=True).apply(v, x)
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(banded),
+                                   rtol=1e-5, atol=1e-5)
+
+        # and the whole-chain form is documented-inexact at the edges:
+        whole = conv_space_to_batch_w(
+            x, lambda xx: Deep().apply(v, xx), halo=3, nb=8, min_elems=1)
+        err = np.abs(np.asarray(direct) - np.asarray(whole))
+        assert err[:, :, 3:-3, :].max() < 1e-5   # interior exact
+        assert err.max() > 1e-3                  # edges differ
