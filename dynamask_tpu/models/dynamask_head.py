@@ -275,13 +275,36 @@ class DynaMaskHead(nn.Module):
 class MaskPre(nn.Module):
     """The Mask Switch Module CNN (reference base_roi_head.py:10-27):
     56×56×256 P2 crop -> conv1x1 256→128 +BN+relu+pool -> conv3x3 128→16
-    +BN+relu+pool -> fc 3136→512 -> fc 512→4."""
+    +BN+relu+pool -> fc 3136→512 -> fc 512→4.
+
+    ``mode`` splits the pipeline around the RoI crop for the TPU perf
+    rewrite: a 1×1 conv is a channel-mixing linear map, so it COMMUTES with
+    the (linear, zero-outside) RoI bilinear crop when applied WITHOUT its
+    bias — ``project`` applies W-only to the whole P2 plane once (256→128,
+    halving the crop's materialized intermediate), and ``head`` re-adds the
+    bias after the crop. crop(W·x) + b == conv1(crop(x)) exactly: W·0 = 0
+    preserves the outside-sample rule, and the reference applies conv1
+    after cropping so every cropped sample (including zeros) gets +b.
+    ``full`` is the reference-shaped single-call path (init/import use it).
+    """
 
     num_choices: int = 4
+    in_channels: int = 256                     # P2 channels (conv1 fan-in)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(128, (1, 1), name='conv1')(x)
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 mode: str = 'full') -> jnp.ndarray:
+        conv1 = nn.Conv(128, (1, 1), name='conv1')
+        if mode == 'project':
+            # W-only: conv1(x) - conv1(0) removes the bias (XLA folds
+            # conv1(0) to the bias constant)
+            zero = jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype)
+            return conv1(x) - conv1(zero)
+        if mode == 'head':
+            zero = jnp.zeros((1, 1, 1, self.in_channels), x.dtype)
+            x = x + conv1(zero)                # + bias, post-crop
+        else:
+            x = conv1(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='bn1')(x)
         x = max_pool(nn.relu(x), 3, 2, padding=1)

@@ -157,6 +157,7 @@ class DynaMaskRoIHead(StandardRoIHead):
     # base_roi_head.py:53-58)
     msm_out_size: int = 56
     msm_stride: int = 4
+    msm_in_channels: int = 256                 # P2 channels (MaskPre fan-in)
     gumbel_temperature: float = 0.5
     # inference-time boundary fusion uses width-1 block targets
     test_boundary_width: int = 1
@@ -177,8 +178,9 @@ class DynaMaskRoIHead(StandardRoIHead):
         # (base_roi_head.py:53-58); remat'ed — its 56²×256 crop input
         # otherwise sits in HBM for the backward. One routing choice per
         # cascade resolution (4 in the flagship config).
-        self.mask_predictor = nn.remat(MaskPre, static_argnums=(2,))(
-            num_choices=len(self.stage_sup_size))
+        self.mask_predictor = nn.remat(MaskPre, static_argnums=(2, 3))(
+            num_choices=len(self.stage_sup_size),
+            in_channels=self.msm_in_channels)
         # trainable detail-target fuse kernel (cross_entropy_loss.py:371)
         self.detail_fuse_weights = self.param(
             'detail_fuse_weights',
@@ -195,7 +197,7 @@ class DynaMaskRoIHead(StandardRoIHead):
                                             train)
         crops = roi_align(feats[0], rois, roi_batch, self.msm_out_size,
                           1.0 / self.msm_stride)
-        msm = self.mask_predictor(crops, train)
+        msm = self.mask_predictor(crops, train, 'full')
         return out + (preds[-1], details[-1], msm)
 
     def _msm_labels(self, feats, rois, roi_batch, train: bool):
@@ -207,12 +209,16 @@ class DynaMaskRoIHead(StandardRoIHead):
         grid per RoI (6 GB at train scale). Remat re-derives the crops in
         the backward instead of storing them."""
         p2 = jax.lax.stop_gradient(feats[0])
+        # crop AFTER the MSM's W-only 1×1 projection (exactly commutes —
+        # see MaskPre): the materialized crop intermediate carries 128
+        # channels instead of 256
+        proj = self.mask_predictor(p2, train, 'project')
         import functools
         crop_fn = jax.checkpoint(functools.partial(
             roi_align, out_size=self.msm_out_size,
             spatial_scale=1.0 / self.msm_stride, sampling_ratio=1))
-        crops = crop_fn(p2, rois, roi_batch)
-        logits = self.mask_predictor(crops, train)
+        crops = crop_fn(proj, rois, roi_batch)
+        logits = self.mask_predictor(crops, train, 'head')
         rng = self.make_rng('sampling')
         return gumbel_softmax(rng, logits, self.gumbel_temperature, hard=True)
 
@@ -279,11 +285,12 @@ class DynaMaskRoIHead(StandardRoIHead):
         roi_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
         flat_labels = labels.reshape(n)
 
-        # routing decision (no Gumbel noise at test: plain argmax)
-        p2 = feats[0]
-        crops = roi_align(p2, rois, roi_batch, self.msm_out_size,
+        # routing decision (no Gumbel noise at test: plain argmax);
+        # crop after the W-only MSM projection (exact — see MaskPre)
+        proj = self.mask_predictor(feats[0], False, 'project')
+        crops = roi_align(proj, rois, roi_batch, self.msm_out_size,
                           1.0 / self.msm_stride, sampling_ratio=1)
-        route_logits = self.mask_predictor(crops, False)
+        route_logits = self.mask_predictor(crops, False, 'head')
         need = jnp.argmax(route_logits, -1)              # 0..3, 3 = finest
         order = jnp.argsort(-need, stable=True)
         inv_order = jnp.argsort(order)
@@ -396,4 +403,10 @@ def build_dynamask_roi_head(cfg: dict, rcnn_train: dict, rcnn_test: dict,
         dynamic_inference=cfg.get('dynamic_inference', False),
         dynamic_capacity=tuple(cfg.get('dynamic_capacity',
                                        (0.5, 0.25, 0.125))),
+        # MaskPre fan-in = pyramid channels (semantic extractor if given,
+        # else the bbox extractor's out_channels)
+        msm_in_channels=(dict(cfg.get('semantic_roi_extractor') or {})
+                         .get('out_channels')
+                         or dict(cfg.get('bbox_roi_extractor') or {})
+                         .get('out_channels', 256)),
         **common)
