@@ -62,9 +62,10 @@ def main():
                 return S(rh._extract(feats, rois, rb, rh.mask_roi_out))
             if fn_name == 'msm':
                 from dynamask_tpu.ops.roi_align import roi_align
-                crops = roi_align(feats[0], rois, rb, rh.msm_out_size,
+                proj = rh.mask_predictor(feats[0], False, 'project')
+                crops = roi_align(proj, rois, rb, rh.msm_out_size,
                                   1.0 / rh.msm_stride, sampling_ratio=1)
-                return S(rh.mask_predictor(crops, False))
+                return S(rh.mask_predictor(crops, False, 'head'))
             if fn_name == 'cascade_full':
                 preds, _ = rh._mask_forward(feats, rois, rb, labels[0],
                                             False)
