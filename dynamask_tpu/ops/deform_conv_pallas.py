@@ -341,9 +341,43 @@ def _dcn_rowmm_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
         out_ref[0, 0, y] = samp.astype(out_ref.dtype)
 
 
+def _dcn_rowmm_yfold_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
+                            S: int, Wp: int, cg: int, D: int, taps: int,
+                            y_blk: int):
+    """Row-matmul sampling with the y-tents FOLDED INTO the matrix.
+
+    The base kernel's per-y contraction is (8cg, Wp) @ (Wp, NT): K = Wp is
+    22-64 at the SFM stages, so the MXU runs at a 17-50% K-tile ceiling.
+    Folding the 8 y-cell tent weights into the interpolation matrix gives
+    (cg, 8*Wp) @ (8*Wp, NT) — identical FLOPs and math
+    (samp[c,col] = sum_u sum_px row_u[c,px] * wy_u[col] * mx[px,col]), but
+    K = 8*Wp = 176-512, a full-depth contraction. Wins when cg fills the
+    MXU row dim (cg >= 64, i.e. the 14^2/28^2 stages — measured ~3x at
+    14^2 x c256); at cg = 32 the base kernel's M = 8cg = 256 layout is
+    better and stays the dispatch default.
+    """
+    NT = taps * S
+    dt = r_ref.dtype
+    col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
+    vv = (jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
+          - col_x - (D + 1)).astype(jnp.float32)
+    for y in range(y_blk):
+        rx = relx_ref[0, 0, y][None, :]                 # (1, NT) f32
+        ry = rely_ref[0, 0, y][None, :]
+        mx = jnp.maximum(1.0 - jnp.abs(rx - vv), 0.0)   # (Wp, NT)
+        m2 = jnp.concatenate(
+            [(mx * jnp.maximum(1.0 - jnp.abs(ry - u), 0.0)).astype(dt)
+             for u in range(-D, D + 2)], axis=0)        # (8*Wp, NT)
+        lhs = r_ref[0, 0, y]                            # (cg, 8*Wp)
+        samp = jax.lax.dot_general(
+            lhs, m2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (cg, NT)
+        out_ref[0, 0, y] = samp.astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     'kernel_size', 'padding', 'dilation', 'deform_groups', 'window',
-    'interpret', 'return_sampled'))
+    'interpret', 'return_sampled', 'yfold'))
 def deform_conv2d_rowmm(x: jnp.ndarray,
                         offsets: jnp.ndarray,
                         weights: jnp.ndarray,
@@ -353,7 +387,8 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
                         deform_groups: int = 1,
                         window: int = 3,
                         interpret: bool = False,
-                        return_sampled: bool = False) -> jnp.ndarray:
+                        return_sampled: bool = False,
+                        yfold: bool = None) -> jnp.ndarray:
     """Row-matmul windowed DCN (stride 1, square planes). Semantics match
     :func:`dynamask_tpu.ops.deform_conv.deform_conv2d_windowed` exactly
     (bounded-deformation DCNv1, reference CUDA op
@@ -400,39 +435,82 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
     xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
     r_rows = jnp.stack([xp[:, 1 + u: 1 + u + S] for u in range(8)],
                        axis=1)                          # (n, 8, S_y, Wp, g, cg)
-    r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)         # (n, g, S_y, 8, cg, Wp)
+
+    # Kernel dispatch (see _dcn_rowmm_yfold_kernel): with cg >= 128 the
+    # y-folded (cg, 8Wp) @ (8Wp, NT) form fills the MXU contraction depth
+    # (K = 8Wp instead of Wp); below that the base (8cg, Wp) @ (Wp, NT)
+    # form's taller M wins. ``yfold=None`` selects by this measured rule.
+    if yfold is None:
+        yfold = cg >= 128
 
     # channel-group blocking: the y loop is unrolled inside the kernel, so
     # scoped VMEM scales with y_blk * cg — when S isn't a multiple of 8 the
     # whole plane is one y block (Mosaic divisibility rule) and wide cg can
     # blow the 16M scoped-vmem limit (seen at S=14, cg=128). Halve cg per
-    # block until the (2x-fudged) temporaries estimate fits.
+    # block until the (2x-fudged) temporaries estimate fits. The two kernel
+    # forms have different dominant temporaries: g_all (8cg, NT) for the
+    # base form, m2 (8Wp, NT) + lhs (cg, 8Wp) for the y-folded one.
     cg_blk = cg
-    while (cg_blk % 16 == 0 and
-           y_blk * (8 * cg_blk * NT + Wp * NT + cg_blk * NT) * 4 * 2
-           > 14 * 2 ** 20):
-        cg_blk //= 2
+    if yfold:
+        while (cg_blk % 16 == 0 and
+               y_blk * (8 * Wp * NT + cg_blk * 8 * Wp + cg_blk * NT) * 4 * 2
+               > 14 * 2 ** 20):
+            cg_blk //= 2
+    else:
+        while (cg_blk % 16 == 0 and
+               y_blk * (8 * cg_blk * NT + Wp * NT + cg_blk * NT) * 4 * 2
+               > 14 * 2 ** 20):
+            cg_blk //= 2
 
-    kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg_blk, D=D,
-                             taps=taps, y_blk=y_blk)
-    samp = pl.pallas_call(
-        kern,
-        grid=(n, g, S // y_blk, cg // cg_blk),
-        in_specs=[
-            pl.BlockSpec((1, 1, y_blk, 8, cg_blk, Wp),
-                         lambda i, j, b, cb: (i, j, b, 0, cb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b, cb: (i, j, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b, cb: (i, j, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
-                               lambda i, j, b, cb: (i, j, b, cb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
-        interpret=interpret,
-    )(r_rows, rel_y, rel_x)
+    if yfold:
+        r2 = r_rows.transpose(0, 4, 2, 5, 1, 3) \
+            .reshape(n, g, S, cg, 8 * Wp)               # (n,g,S_y,c,(u,Wp))
+        kern = functools.partial(_dcn_rowmm_yfold_kernel, S=S, Wp=Wp,
+                                 cg=cg_blk, D=D, taps=taps, y_blk=y_blk)
+        samp = pl.pallas_call(
+            kern,
+            grid=(n, g, S // y_blk, cg // cg_blk),
+            in_specs=[
+                pl.BlockSpec((1, 1, y_blk, cg_blk, 8 * Wp),
+                             lambda i, j, b, cb: (i, j, b, cb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, y_blk, NT),
+                             lambda i, j, b, cb: (i, j, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, y_blk, NT),
+                             lambda i, j, b, cb: (i, j, b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
+                                   lambda i, j, b, cb: (i, j, b, cb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
+            interpret=interpret,
+        )(r2, rel_y, rel_x)
+    else:
+        r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)     # (n, g, S_y, 8, cg, Wp)
+        kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg_blk,
+                                 D=D, taps=taps, y_blk=y_blk)
+        samp = pl.pallas_call(
+            kern,
+            grid=(n, g, S // y_blk, cg // cg_blk),
+            in_specs=[
+                pl.BlockSpec((1, 1, y_blk, 8, cg_blk, Wp),
+                             lambda i, j, b, cb: (i, j, b, 0, cb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, y_blk, NT),
+                             lambda i, j, b, cb: (i, j, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, y_blk, NT),
+                             lambda i, j, b, cb: (i, j, b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
+                                   lambda i, j, b, cb: (i, j, b, cb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
+            interpret=interpret,
+        )(r_rows, rel_y, rel_x)
 
     if return_sampled:
         return samp                      # (n, g, S, cg, taps*S), pre-GEMM

@@ -169,9 +169,11 @@ def roi_align(features: jnp.ndarray,
     b, h, w, c = features.shape
     n = rois.shape[0]
     s = sampling_ratio
-    if (jax.default_backend() == 'tpu' and b == 1 and out_size >= 32):
-        # large crops from one plane: per-RoI interp matmuls beat the
-        # point gathers (~2x at the MSM 56^2 crop)
+    if jax.default_backend() == 'tpu' and b == 1:
+        # crops from one plane: per-RoI interp matmuls beat the point
+        # gathers at every SFM/MSM shape (~2x at the MSM 56^2 crop; ~12x
+        # at the 14^2 semantic crop, whose 256-wide gather rows exceed the
+        # 128-lane full-bandwidth gather width and collapse to ~100 GB/s)
         return roi_align_separable(features, rois, out_size, spatial_scale,
                                    sampling_ratio, aligned)
     flat = features.reshape(b * h * w, c)

@@ -349,6 +349,25 @@ class TestPallasWindowedDCN:
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_rowmm_yfold_kernel_matches_xla_windowed(self):
+        """Interpret-mode exactness of the y-folded row-matmul form
+        (selected when cg >= 64) vs the XLA windowed path, covering both a
+        multiple-of-8 plane and the 14^2-like odd plane size."""
+        from dynamask_tpu.ops.deform_conv import deform_conv2d_windowed
+        from dynamask_tpu.ops.deform_conv_pallas import deform_conv2d_rowmm
+        for S in (8, 14):
+            ks = jax.random.split(jax.random.PRNGKey(11 + S), 3)
+            x = jax.random.normal(ks[0], (2, S, S, 128), jnp.float32)
+            off = jax.random.uniform(ks[1], (2, S, S, 36), minval=-5.0,
+                                     maxval=5.0)
+            w = jax.random.normal(ks[2], (3, 3, 128, 16)) * 0.1
+            ref = deform_conv2d_windowed(x, off, w, deform_groups=2,
+                                         window=3)
+            got = deform_conv2d_rowmm(x, off, w, deform_groups=2, window=3,
+                                      interpret=True)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_rowmm_vjp_matches_windowed_autodiff(self):
         """Analytic matrix-form backward == autodiff of the XLA windowed
         path, for all three gradients (interpret mode)."""
