@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import tent_matrix, _sample_coords
 
 
 @partial(jax.jit, static_argnames=('out_size', 'sampling_ratio'))
@@ -52,7 +52,6 @@ def mask_targets_from_crops(gt_crops: jnp.ndarray,
     # targets are constants w.r.t. the model (binarized anyway)
     rois = jax.lax.stop_gradient(rois)
     b, g, s, _ = gt_crops.shape
-    feats = gt_crops.reshape(b * g, s, s, 1).astype(jnp.float32)
 
     flat_gt = roi_batch.astype(jnp.int32) * g + roi_gt.astype(jnp.int32)
     win = gt_windows.reshape(b * g, 4)[flat_gt]  # (R, 4)
@@ -71,6 +70,21 @@ def mask_targets_from_crops(gt_crops: jnp.ndarray,
                            (x2 - win[:, 0]) * sx, (y2 - win[:, 1]) * sy],
                           axis=-1)
 
-    out = roi_align(feats, crop_rois, flat_gt, out_size, 1.0,
-                    sampling_ratio=sampling_ratio, aligned=True)
-    return (out[..., 0] >= 0.5).astype(jnp.float32)
+    # Per-RoI-plane SEPARABLE RoIAlign: each RoI reads exactly one
+    # single-channel (S, S) GT plane, so the pooled crop factors into two
+    # tent matmuls, out = A_y @ plane @ A_x^T (same factorization as
+    # ops/roi_align.py:roi_align_separable, here batched over per-RoI
+    # planes). The point-gather form issued 4 corner gathers per sample —
+    # ~100M one-float rows per step at the 112² stage — and was the single
+    # largest cost in the train step (1.16 s of 2.29 s, fwd-only, bs=4);
+    # the matmul form is ~3.4 GFLOP total across all four stage sizes.
+    planes = gt_crops.reshape(b * g, s, s).astype(jnp.float32)[flat_gt]
+    ys, xs = _sample_coords(crop_rois, 1.0, out_size, sampling_ratio,
+                            aligned=True)
+    a_y = tent_matrix(ys, s, out_size, sampling_ratio, jnp.float32)
+    a_x = tent_matrix(xs, s, out_size, sampling_ratio, jnp.float32)
+    t = jnp.einsum('nps,nsw->npw', a_y, planes,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum('npw,nqw->npq', t, a_x,
+                     preferred_element_type=jnp.float32)
+    return (out >= 0.5).astype(jnp.float32)

@@ -312,6 +312,24 @@ def generic_roi_align(features: Sequence[jnp.ndarray],
     return jnp.concatenate(crops, axis=-1)
 
 
+def tent_matrix(coords: jnp.ndarray, extent: int, out_size: int, s: int,
+                dtype) -> jnp.ndarray:
+    """(N, P*s) sample coords -> (N, P, extent) sub-sample-averaged tent
+    (bilinear interpolation) weights. mmcv boundary rule, matching
+    :func:`_bilinear_gather`: the inside test uses the RAW coordinate, the
+    coordinate then CLAMPS to the valid range (edge samples keep full
+    weight). One RoIAlign row/column factor: pooling a RoI is
+    ``A_y @ plane @ A_x^T`` with these matrices per axis."""
+    n = coords.shape[0]
+    inside = ((coords >= -1.0) & (coords <= extent))[..., None]
+    cl = jnp.clip(coords, 0.0, extent - 1)
+    r = jnp.arange(extent, dtype=jnp.float32)[None, None, :]
+    t = jnp.maximum(1.0 - jnp.abs(cl[:, :, None] - r), 0.0)
+    t = jnp.where(inside, t, 0.0)
+    t = t.reshape(n, out_size, s, extent)
+    return jnp.mean(t, axis=2).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=('out_size', 'spatial_scale',
                                    'sampling_ratio', 'aligned'))
 def roi_align_separable(features: jnp.ndarray,
@@ -339,21 +357,8 @@ def roi_align_separable(features: jnp.ndarray,
     s = sampling_ratio
     ys, xs = _sample_coords(rois, spatial_scale, out_size, s, aligned)
 
-    def interp_matrix(coords, extent):
-        # (N, P*s) coords -> (N, P, extent) averaged tent weights;
-        # mmcv boundary rule: inside test on the raw coordinate, then the
-        # coordinate CLAMPS to the valid range (edge samples get full
-        # weight) — matching _bilinear_gather
-        inside = ((coords >= -1.0) & (coords <= extent))[..., None]
-        cl = jnp.clip(coords, 0.0, extent - 1)
-        r = jnp.arange(extent, dtype=jnp.float32)[None, None, :]
-        t = jnp.maximum(1.0 - jnp.abs(cl[:, :, None] - r), 0.0)
-        t = jnp.where(inside, t, 0.0)
-        t = t.reshape(n, out_size, s, extent)
-        return jnp.mean(t, axis=2).astype(features.dtype)
-
-    a_y = interp_matrix(ys, h)                      # (N, P, H)
-    a_x = interp_matrix(xs, w)                      # (N, P, W)
+    a_y = tent_matrix(ys, h, out_size, s, features.dtype)   # (N, P, H)
+    a_x = tent_matrix(xs, w, out_size, s, features.dtype)   # (N, P, W)
     plane = features[0]
     # contract the WIDER spatial axis first so the materialized intermediate
     # carries the narrower one: (N, P, min(H,W), C) instead of

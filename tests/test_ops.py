@@ -523,3 +523,54 @@ class TestConvSpaceToBatchW:
         err = np.abs(np.asarray(direct) - np.asarray(whole))
         assert err[:, :, 3:-3, :].max() < 1e-5   # interior exact
         assert err.max() > 1e-3                  # edges differ
+
+
+class TestMaskTargetsSeparable:
+    def test_matches_gather_roi_align(self):
+        # the separable per-RoI-plane form must reproduce the gather
+        # RoIAlign it replaced (core/mask_targets.py)
+        from dynamask_tpu.core.mask_targets import mask_targets_from_crops
+        rng = np.random.RandomState(3)
+        b, g, s, r = 2, 5, 32, 16
+        gt_crops = rng.rand(b, g, s, s).astype(np.float32)
+        gt_windows = np.zeros((b, g, 4), np.float32)
+        gt_windows[..., 0] = rng.uniform(0, 50, (b, g))
+        gt_windows[..., 1] = rng.uniform(0, 50, (b, g))
+        gt_windows[..., 2] = gt_windows[..., 0] + rng.uniform(20, 80, (b, g))
+        gt_windows[..., 3] = gt_windows[..., 1] + rng.uniform(20, 80, (b, g))
+        rois = np.zeros((r, 4), np.float32)
+        rois[:, 0] = rng.uniform(0, 90, r)
+        rois[:, 1] = rng.uniform(0, 90, r)
+        rois[:, 2] = rois[:, 0] + rng.uniform(5, 40, r)
+        rois[:, 3] = rois[:, 1] + rng.uniform(5, 40, r)
+        roi_batch = rng.randint(0, b, r).astype(np.int32)
+        roi_gt = rng.randint(0, g, r).astype(np.int32)
+        img_hw = np.array([[128, 128]] * b, np.float32)
+
+        for out_size in (14, 28):
+            got = mask_targets_from_crops(
+                jnp.asarray(gt_crops), jnp.asarray(gt_windows),
+                jnp.asarray(rois), jnp.asarray(roi_batch),
+                jnp.asarray(roi_gt), jnp.asarray(img_hw), out_size)
+
+            # gather reference: crop each RoI from its own plane via the
+            # batched roi_align (the pre-separable formulation)
+            flat_gt = roi_batch * g + roi_gt
+            win = gt_windows.reshape(b * g, 4)[flat_gt]
+            hw = img_hw[roi_batch]
+            x1 = np.clip(rois[:, 0], 0, hw[:, 1])
+            y1 = np.clip(rois[:, 1], 0, hw[:, 0])
+            x2 = np.clip(rois[:, 2], 0, hw[:, 1])
+            y2 = np.clip(rois[:, 3], 0, hw[:, 0])
+            sx = s / np.maximum(win[:, 2] - win[:, 0], 1e-6)
+            sy = s / np.maximum(win[:, 3] - win[:, 1], 1e-6)
+            crop_rois = np.stack([(x1 - win[:, 0]) * sx,
+                                  (y1 - win[:, 1]) * sy,
+                                  (x2 - win[:, 0]) * sx,
+                                  (y2 - win[:, 1]) * sy], -1)
+            feats = gt_crops.reshape(b * g, s, s, 1)
+            ref = roi_align(jnp.asarray(feats), jnp.asarray(crop_rois),
+                            jnp.asarray(flat_gt.astype(np.int32)), out_size,
+                            1.0, sampling_ratio=2, aligned=True)
+            ref_bin = (np.asarray(ref)[..., 0] >= 0.5).astype(np.float32)
+            assert np.mean(np.asarray(got) == ref_bin) > 0.999
