@@ -168,7 +168,7 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, out_size, out_size, c),
                                lambda i, meta_ref, coord_ref: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
