@@ -31,7 +31,18 @@ def S(x):
 
 
 def main():
-    det, _ = _build_flagship()
+    dynamic = os.environ.get('PROF_DYNAMIC', '1') == '1'
+    if dynamic:
+        # match bench.py's north-star mode (MSM-routed bucketed resolution)
+        from dynamask_tpu.utils.config import Config
+        from dynamask_tpu.models import build_detector
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '..',
+            'configs/dynamask/coco/r50_dynamask_1x.py'))
+        cfg.model.roi_head['dynamic_inference'] = True
+        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+    else:
+        det, _ = _build_flagship()
     h, w = 800, 1344
     batch = _demo_batch(jnp, 1, h, w, with_gt=False)
     shapes = jax.eval_shape(
@@ -39,6 +50,11 @@ def main():
                          _demo_batch(jnp, 1, h, w)))
     variables = jax.tree_util.tree_map(
         lambda a: jnp.zeros(a.shape, a.dtype), shapes)
+    if os.environ.get('PROF_BF16', '1') == '1':
+        # match bench.py: bf16 params/inputs (fp32 decode stays inside)
+        from dynamask_tpu.core.fp16 import to_bf16
+        variables = to_bf16(variables)
+        batch['image'] = batch['image'].astype(jnp.bfloat16)
 
     def feat_only(m, bb):
         return S(m.extract_feat(bb['image']))
@@ -94,7 +110,8 @@ def main():
         ts = []
         for i in range(iters):
             b = dict(batch)
-            b['image'] = batch['image'] + jnp.float32(i) * 1e-6
+            b['image'] = batch['image'] + jnp.asarray(
+                i * 1e-6, batch['image'].dtype)
             jax.block_until_ready(b['image'])
             t0 = time.time()
             float(f(variables, b))
@@ -103,15 +120,20 @@ def main():
         return ts[len(ts) // 2]
 
     baseline = timeit(jax.jit(lambda v, b: jnp.sum(b['image'][0, 0, 0])))
-    print(f'transport floor: {baseline * 1e3:.1f} ms')
+    print(f'transport floor: {baseline * 1e3:.1f} ms', flush=True)
     prev = 0.0
-    for name, go in [('backbone+fpn', feat_only), ('+rpn_props', plus_rpn),
-                     ('+bbox+nms', plus_bbox), ('+mask_cascade', full),
-                     ('+paste640', full_paste)]:
+    stages = [('backbone+fpn', feat_only), ('+rpn_props', plus_rpn),
+              ('+bbox+nms', plus_bbox), ('+mask_cascade', full),
+              ('+paste640', full_paste)]
+    only = os.environ.get('PROF_STAGES')  # comma-separated name filter
+    if only:
+        keep = {s.strip() for s in only.split(',')}
+        stages = [s for s in stages if s[0] in keep]
+    for name, go in stages:
         f = jax.jit(lambda v, b, go=go: det.apply(v, b, method=go))
         dt = timeit(f)
         print(f'{name:16s} total {dt * 1e3:8.1f} ms   '
-              f'marginal {(dt - prev) * 1e3:8.1f} ms')
+              f'marginal {(dt - prev) * 1e3:8.1f} ms', flush=True)
         prev = dt
 
 
