@@ -39,6 +39,36 @@ from .roi_head import StandardRoIHead
 from .dynamask_head import DynaMaskHead, MaskPre, gumbel_softmax
 
 
+# ----------------------------------------------------------- observability
+
+def routing_clip_stats(need: jnp.ndarray,
+                       caps: Sequence[int]) -> Dict[str, jnp.ndarray]:
+    """Accounting for the MSM routing decisions vs the static capacities.
+
+    ``need`` is the per-RoI argmax resolution choice (0..3, 3 = finest 112);
+    ``caps`` the static per-stage admission counts (n, k1, k2, k3) used by
+    ``_dynamic_test_mask``. Returns:
+
+      * ``hist``:     (4,)  #RoIs per chosen resolution;
+      * ``demand``:   (3,)  #RoIs demanding stage >= 1/2/3;
+      * ``capacity``: (3,)  the static k1/k2/k3;
+      * ``clipped``:  (3,)  #RoIs silently demoted at each stage boundary
+        (demand beyond capacity — the paper's budget-vs-quality tradeoff
+        made visible; reference semantics dynamask_roi_head.py:68-70).
+
+    NOTE: padded/invalid det slots are counted too — they contend for the
+    same static capacity slots at inference, which is exactly the effect
+    this accounting is meant to expose.
+    """
+    need = need.reshape(-1)
+    hist = jnp.stack([jnp.sum(need == k) for k in range(4)])
+    demand = jnp.stack([jnp.sum(need >= j) for j in (1, 2, 3)])
+    kcaps = jnp.asarray(caps[1:4])
+    clipped = jnp.maximum(demand - kcaps, 0)
+    return {'hist': hist, 'demand': demand, 'capacity': kcaps,
+            'clipped': clipped}
+
+
 # ----------------------------------------------------------------- losses
 
 def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
@@ -302,6 +332,14 @@ class DynaMaskRoIHead(StandardRoIHead):
         k2 = max(1, min(k1, int(round(n * cap[1]))))
         k3 = max(1, min(k2, int(round(n * cap[2]))))
         caps = (n, k1, k2, k3)
+
+        # routing observability: expose the decision histogram and the
+        # capacity-clip accounting as flax intermediates; readers opt in
+        # with apply(..., mutable=['intermediates']) — zero cost otherwise
+        # (tools/calibrate_capacity.py consumes this to derive capacities
+        # from the trained routing distribution)
+        self.sow('intermediates', 'msm_routing',
+                 {**routing_clip_stats(need, caps), 'need': need})
 
         stage_preds, _ = self._mask_forward(
             feats, rois[order], roi_batch[order], flat_labels[order], False,

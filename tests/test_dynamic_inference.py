@@ -64,6 +64,28 @@ class TestDynamicInference:
                                    np.asarray(out_ref['dets']),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_routing_stats_sown(self, built):
+        """The dynamic path exposes the MSM routing histogram + clip
+        accounting as flax intermediates (routing observability)."""
+        det, variables, batch = built
+        out, inter = jax.jit(lambda v, b: det.apply(
+            v, b, method='simple_test', mutable=['intermediates']))(
+            variables, batch)
+        stats = inter['intermediates']['roi_head']['msm_routing'][0]
+        n = out['mask_probs'].shape[0] * out['mask_probs'].shape[1]
+        hist = np.asarray(stats['hist'])
+        assert hist.sum() == n
+        assert stats['need'].shape == (n,)
+        # clip accounting: clipped = max(0, demand - capacity), elementwise
+        np.testing.assert_array_equal(
+            np.asarray(stats['clipped']),
+            np.maximum(np.asarray(stats['demand'])
+                       - np.asarray(stats['capacity']), 0))
+        # capacities follow the configured fractions ((0.5, 0.25) legacy
+        # 2-tuple -> everyone admitted to 28, then n/2, n/4)
+        np.testing.assert_array_equal(np.asarray(stats['capacity']),
+                                      [n, max(1, n // 2), max(1, n // 4)])
+
     def test_training_unaffected(self, built):
         det, variables, batch = built
         from dynamask_tpu.models import parse_losses
