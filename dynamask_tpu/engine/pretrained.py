@@ -156,6 +156,57 @@ def _mmdet_key(key: str) -> Optional[Tuple[List[str], str, Dict]]:
     m = re.match(r'^roi_head\.mask_head\.conv_logits\.(weight|bias)$', key)
     if m:
         return ['roi_head', 'mask_head', 'conv_logits'], m.group(1), {}
+    # ---- DynaMask mask head + MSM (reference naming:
+    #      mask_heads/dynamask_head.py:54-199 SFMStage/stages/instance_convs,
+    #      base_roi_head.py:10-27 MaskPre as roi_head.mask_predictor) ------
+    m = re.match(r'^roi_head\.mask_head\.instance_convs\.(\d+)\.conv\.'
+                 r'(weight|bias)$', key)
+    if m:
+        return (['roi_head', 'mask_head', f'instance_conv_{m.group(1)}'],
+                m.group(2), {})
+    m = re.match(r'^roi_head\.mask_head\.stages\.(\d+)\.'
+                 r'(semantic_transform_in|instance_logits|detail_logits|'
+                 r'fuse_transform_out)\.(weight|bias)$', key)
+    if m:
+        return (['roi_head', 'mask_head', f'stage_{m.group(1)}',
+                 m.group(2)], m.group(3), {})
+    m = re.match(r'^roi_head\.mask_head\.stages\.(\d+)\.fuse_conv\.0\.'
+                 r'(weight|bias)$', key)
+    if m:
+        return (['roi_head', 'mask_head', f'stage_{m.group(1)}',
+                 'fuse_conv_0'], m.group(2), {})
+    m = re.match(r'^roi_head\.mask_head\.stages\.(\d+)\.fuse_conv\.1\.'
+                 r'conv_offset\.(weight|bias)$', key)
+    if m:
+        return (['roi_head', 'mask_head', f'stage_{m.group(1)}',
+                 'fuse_conv_1', 'conv_offset'], m.group(2), {})
+    m = re.match(r'^roi_head\.mask_head\.stages\.(\d+)\.fuse_conv\.1\.'
+                 r'weight$', key)
+    if m:
+        # mmcv DeformConv2d stores its (bias-free) kernel as '.weight';
+        # the flax DCNPack leaf is likewise named 'weight', not 'kernel'
+        return (['roi_head', 'mask_head', f'stage_{m.group(1)}',
+                 'fuse_conv_1'], 'weight', {'flax_leaf': 'weight'})
+    m = re.match(r'^roi_head\.mask_head\.'
+                 r'(final_instance_logits|final_detail_logits)\.'
+                 r'(weight|bias)$', key)
+    if m:
+        return ['roi_head', 'mask_head', m.group(1)], m.group(2), {}
+    m = re.match(r'^roi_head\.mask_predictor\.(conv1|conv2|fc2)\.'
+                 r'(weight|bias)$', key)
+    if m:
+        return ['roi_head', 'mask_predictor', m.group(1)], m.group(2), {}
+    m = re.match(r'^roi_head\.mask_predictor\.fc1\.(weight|bias)$', key)
+    if m:
+        # MaskPre flattens (N, 16, 14, 14) CHW-order into fc1
+        # (base_roi_head.py:24); the flax head flattens HWC
+        return (['roi_head', 'mask_predictor', 'fc1'], m.group(1),
+                {'flatten_chw': True, 'roi_feat_size': 14})
+    m = re.match(r'^roi_head\.mask_predictor\.(bn1|bn2)\.'
+                 r'(weight|bias|running_mean|running_var|'
+                 r'num_batches_tracked)$', key)
+    if m:
+        return ['roi_head', 'mask_predictor', m.group(1)], m.group(2), {}
     return None
 
 
@@ -180,6 +231,10 @@ def _convert_leaf(value: np.ndarray, torch_leaf: str, flax_target,
     """Map one torch tensor onto the flax leaf name + layout."""
     if torch_leaf == 'weight':
         if value.ndim == 4:
+            if hints.get('flax_leaf'):
+                # target leaf keeps a non-standard name (e.g. DCNPack's
+                # bias-free 'weight'); layout conversion is the usual one
+                return [hints['flax_leaf']], value.transpose(2, 3, 1, 0)
             if hints.get('deconv'):
                 # torch ConvTranspose2d (in, out, kh, kw) -> flax
                 # (kh, kw, in, out), spatially FLIPPED: torch computes the
