@@ -144,6 +144,13 @@ def main():
     import jax
     from test_data import make_synthetic_coco
 
+    # persistent XLA compile cache (same dir as the test suite) — the toy
+    # model compiles dominate wall clock on a small host
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
     t_start = time.time()
     tmp = tempfile.mkdtemp(prefix='dynamask_accuracy_')
     ann_file, img_dir = make_synthetic_coco(Path(tmp), num_imgs=4)

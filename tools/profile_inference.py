@@ -32,17 +32,8 @@ def S(x):
 
 def main():
     dynamic = os.environ.get('PROF_DYNAMIC', '1') == '1'
-    if dynamic:
-        # match bench.py's north-star mode (MSM-routed bucketed resolution)
-        from dynamask_tpu.utils.config import Config
-        from dynamask_tpu.models import build_detector
-        cfg = Config.fromfile(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), '..',
-            'configs/dynamask/coco/r50_dynamask_1x.py'))
-        cfg.model.roi_head['dynamic_inference'] = True
-        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
-    else:
-        det, _ = _build_flagship()
+    # match bench.py's mode selection (single source: _build_flagship)
+    det, _ = _build_flagship(dynamic=dynamic)
     h, w = 800, 1344
     batch = _demo_batch(jnp, 1, h, w, with_gt=False)
     shapes = jax.eval_shape(
@@ -110,8 +101,11 @@ def main():
         ts = []
         for i in range(iters):
             b = dict(batch)
+            # per-iteration perturbation must survive bf16 rounding (ulp at
+            # 1.0 is 2^-7): a 1e-6 step would be absorbed and every timed
+            # iteration would feed input bit-identical to the warmup
             b['image'] = batch['image'] + jnp.asarray(
-                i * 1e-6, batch['image'].dtype)
+                i * 2.0 ** -7, batch['image'].dtype)
             jax.block_until_ready(b['image'])
             t0 = time.time()
             float(f(variables, b))
@@ -121,20 +115,28 @@ def main():
 
     baseline = timeit(jax.jit(lambda v, b: jnp.sum(b['image'][0, 0, 0])))
     print(f'transport floor: {baseline * 1e3:.1f} ms', flush=True)
-    prev = 0.0
     stages = [('backbone+fpn', feat_only), ('+rpn_props', plus_rpn),
               ('+bbox+nms', plus_bbox), ('+mask_cascade', full),
               ('+paste640', full_paste)]
     only = os.environ.get('PROF_STAGES')  # comma-separated name filter
+    keep_idx = range(len(stages))
     if only:
         keep = {s.strip() for s in only.split(',')}
-        stages = [s for s in stages if s[0] in keep]
-    for name, go in stages:
+        keep_idx = [i for i, s in enumerate(stages) if s[0] in keep]
+        stages = [stages[i] for i in keep_idx]
+    prev, prev_idx = 0.0, -1
+    for idx, (name, go) in zip(keep_idx, stages):
         f = jax.jit(lambda v, b, go=go: det.apply(v, b, method=go))
         dt = timeit(f)
+        # 'marginal' only means stage-cost when the immediately preceding
+        # pipeline stage also ran (first stage: vs the transport baseline)
+        if idx == prev_idx + 1 or idx == 0:
+            marginal = f'{(dt - prev) * 1e3:8.1f} ms'
+        else:
+            marginal = '     n/a (gap)'
         print(f'{name:16s} total {dt * 1e3:8.1f} ms   '
-              f'marginal {(dt - prev) * 1e3:8.1f} ms', flush=True)
-        prev = dt
+              f'marginal {marginal}', flush=True)
+        prev, prev_idx = dt, idx
 
 
 if __name__ == '__main__':

@@ -17,16 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _build_flagship, _demo_batch
-from dynamask_tpu.utils.config import Config
-from dynamask_tpu.models import build_detector
 
 
 def main():
-    cfg = Config.fromfile(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), '..',
-        'configs/dynamask/coco/r50_dynamask_1x.py'))
-    cfg.model.roi_head['dynamic_inference'] = True
-    det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+    det, _ = _build_flagship(dynamic=True)
     h, w = 800, 1344
     batch = _demo_batch(jnp, 1, h, w, with_gt=False)
     shapes = jax.eval_shape(
