@@ -2,15 +2,21 @@
 
 Protocol mirrors the reference's tools/benchmark.py (docs/model_zoo.md:12-14):
 steady-state fps over repeated forwards, network forward + post-processing
-only (NMS, cascade, boundary fusion, class selection — everything up to
-per-RoI mask probabilities), excluding data loading; bs=1 at the standard
-(1333, 800) COCO test scale (padded canvas 800×1344).
+only, excluding data loading; bs=1 at the standard (1333, 800) COCO test
+scale (padded canvas 800×1344). The HEADLINE number is paste-INCLUSIVE:
+forward + NMS + cascade + boundary fusion + device-side paste of all RoI
+masks onto the full 800×1344 canvas + 0.5 threshold — the same work the
+reference's benchmark does through get_seg_masks' _do_paste_mask
+(mmdet/models/roi_heads/mask_heads/dynamask_head.py:279-342); only host RLE
+encoding is excluded on both sides. A no-paste number (everything up to
+per-RoI mask probabilities — prior rounds' metric) is reported alongside
+for continuity, plus an MFU estimate from XLA cost analysis.
 
 Baseline anchor: Mask R-CNN R-50-FPN 1x at 16.1 fps on 1×V100
 (configs/mask_rcnn/README.md:20) — the closest published in-tree number
 (the repo publishes no DynaMask-specific fps; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -22,6 +28,8 @@ import numpy as np
 
 
 BASELINE_FPS = 16.1  # Mask R-CNN R50-FPN 1x, 1xV100 (BASELINE.md)
+# bf16 peak of one TPU v5e (v5 lite) chip, for the MFU estimate
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -32,19 +40,14 @@ def main():
     from __graft_entry__ import _build_flagship, _demo_batch, _zeros_like_tree
 
     dynamic = os.environ.get('BENCH_DYNAMIC', '1') == '1'
-    if dynamic:
-        # north-star speed mode: MSM-routed bucketed dynamic resolution
-        from dynamask_tpu.utils.config import Config
-        from dynamask_tpu.models import build_detector
-        cfg = Config.fromfile(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            'configs/dynamask/coco/r50_dynamask_1x.py'))
-        cfg.model.roi_head['dynamic_inference'] = True
-        det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
-    else:
-        det, _ = _build_flagship()
+    # dynamic=True is the north-star speed mode (MSM-routed bucketed
+    # resolution); dynamic=False is the reference-faithful full cascade
+    det, _ = _build_flagship(dynamic=dynamic)
     h, w = 800, 1344
-    batch = _demo_batch(jnp, 1, h, w, with_gt=False)
+    # BENCH_BS>1: serving-style batched throughput (bs=1 is the reference
+    # protocol and the default; img/s scales with the batched work)
+    batch = _demo_batch(jnp, int(os.environ.get('BENCH_BS', '1')), h, w,
+                        with_gt=False)
 
     shapes = jax.eval_shape(
         lambda: det.init({'params': jax.random.PRNGKey(0)},
@@ -82,54 +85,128 @@ def main():
         variables = to_bf16(variables)
 
     iters = int(os.environ.get('BENCH_ITERS', '50'))
+    from dynamask_tpu.apis.test import _paste_epilogue
 
-    def one_iter(v, b, i):
+    def one_iter(v, b, i, paste):
         b = dict(b)
         if bf16:
             b['image'] = b['image'].astype(jnp.bfloat16)
         # distinct input per iteration: defeats any execution/transport
-        # caching so the timing is honest
-        b['image'] = b['image'] + i.astype(b['image'].dtype) * 1e-6
+        # caching so the timing is honest. The step must survive bf16
+        # rounding (ulp at 1.0 is 2^-7 ≈ 0.0078 — an additive 1e-6 would be
+        # absorbed and every iteration would see bit-identical input).
+        b['image'] = b['image'] + i.astype(b['image'].dtype) * (2.0 ** -7)
         out = det.apply(v, b, method='simple_test')
         # fold every output into one scalar so fetching it forces the whole
         # computation (block_until_ready over the tunnel transport has been
         # observed to return before remote execution completes)
-        return (jnp.sum(out['dets'][..., 4]) + jnp.sum(out['labels'])
-                + jnp.sum(out['det_valid']) +
-                jnp.sum(out['mask_probs'].astype(jnp.float32)))
+        acc = (jnp.sum(out['dets'][..., 4]) + jnp.sum(out['labels'])
+               + jnp.sum(out['det_valid']))
+        if paste:
+            # reference-protocol epilogue: paste every RoI mask onto the
+            # full padded canvas + 0.5 threshold, on device (= the work
+            # get_seg_masks does in the V100 anchor's timed loop)
+            res = _paste_epilogue(out, h, w, 0.5)
+            acc = acc + jnp.sum(res['masks'].astype(jnp.float32))
+        else:
+            acc = acc + jnp.sum(out['mask_probs'].astype(jnp.float32))
+        return acc
 
-    @jax.jit
-    def timed_loop(v, b):
-        # device-side loop: ONE dispatch for all iters, so the per-call
-        # transport round-trip (~30 ms floor) is amortised out and the
-        # wall time between dispatch and the scalar fetch is pure device
-        # execution (round-2 measurement: scan loop == dispatch loop img/s
-        # when the transport is healthy, but only the former is
-        # trustworthy when it is not)
-        def body(i, acc):
-            return acc + one_iter(v, b, i.astype(jnp.float32))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.))
+    def make_loop(paste):
+        def timed_loop(v, b):
+            # device-side loop: ONE dispatch for all iters, so the per-call
+            # transport round-trip (~30 ms floor) is amortised out and the
+            # wall time between dispatch and the scalar fetch is pure device
+            # execution (round-2 measurement: scan loop == dispatch loop
+            # img/s when the transport is healthy, but only the former is
+            # trustworthy when it is not)
+            def body(i, acc):
+                return acc + one_iter(v, b, i.astype(jnp.float32), paste)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.))
+        # AOT compile so the SAME executable serves warmup, timing, and
+        # cost analysis — a second .lower().compile() for cost analysis
+        # alone was measured to double the bench's wall clock
+        t0 = time.time()
+        compiled = jax.jit(timed_loop).lower(variables, batch).compile()
+        print(f'# compile(paste={paste})={time.time() - t0:.1f}s',
+              file=sys.stderr, flush=True)
+        return compiled
 
-    # compile + one full warmup execution (excluded per reference protocol)
-    t0 = time.time()
-    chk = float(timed_loop(variables, batch))
-    compile_s = time.time() - t0
+    bsz = batch['image'].shape[0]
 
-    t0 = time.time()
-    chk = float(timed_loop(variables, batch))
-    dt = time.time() - t0
-    assert np.isfinite(chk), chk
-    fps = iters / dt
+    def measure(compiled):
+        # one warmup execution (excluded per reference protocol)
+        t0 = time.time()
+        chk = float(compiled(variables, batch))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        chk = float(compiled(variables, batch))
+        dt = time.time() - t0
+        assert np.isfinite(chk), chk
+        print(f'# warmup={warm_s:.1f}s timed={dt:.1f}s', file=sys.stderr,
+              flush=True)
+        return iters * bsz / dt
+
+    paste_loop = make_loop(paste=True)
+    fps = measure(paste_loop)
+
+    fps_np = None
+    if os.environ.get('BENCH_NOPASTE', '1') == '1':
+        fps_np = measure(make_loop(paste=False))
+
+    # MFU from XLA cost analysis of the ACTUAL timed executable. The fori
+    # body may be counted once or trip-count times depending on backend;
+    # disambiguate by magnitude (per-image flops for this model is known to
+    # sit near 0.7 TFLOPs — tools/get_flops.py: 681.65 GFLOPs faithful).
+    mfu = flops_per_img = None
+    try:
+        cost = paste_loop.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        fl = float(cost.get('flops', 0.0))
+        for cand in (fl / (iters * bsz), fl / bsz):
+            if 5e10 <= cand <= 2e13:
+                flops_per_img = cand
+                break
+        if flops_per_img:
+            mfu = flops_per_img * fps / V5E_PEAK_FLOPS
+    except Exception as e:  # cost analysis unsupported on some backends
+        print(f'# cost analysis unavailable: {e}', file=sys.stderr)
+
+    if dynamic and os.environ.get('BENCH_ROUTING', '1') == '1':
+        # routing observability: MSM decision histogram + capacity-clip
+        # accounting for this run (flax intermediates sown by
+        # _dynamic_test_mask; see routing_clip_stats)
+        try:
+            _, inter = jax.jit(lambda v, b: det.apply(
+                v, b, method='simple_test',
+                mutable=['intermediates']))(variables, batch)
+            st = inter['intermediates']['roi_head']['msm_routing'][0]
+            print('# msm routing hist(14/28/56/112)='
+                  f'{np.asarray(st["hist"]).tolist()} '
+                  f'demand={np.asarray(st["demand"]).tolist()} '
+                  f'capacity={np.asarray(st["capacity"]).tolist()} '
+                  f'clipped={np.asarray(st["clipped"]).tolist()}',
+                  file=sys.stderr)
+        except Exception as e:
+            print(f'# routing stats unavailable: {e}', file=sys.stderr)
 
     mode = ('MSM-routed bucketed' if dynamic else 'full cascade')
-    print(json.dumps({
+    rec = {
         'metric': f'dynamask_r50_fpn COCO 800x1344 inference img/s/chip '
-                  f'({mode}, bf16)',
+                  f'({mode}, bf16, incl. device mask paste)',
         'value': round(fps, 3),
         'unit': 'img/s',
         'vs_baseline': round(fps / BASELINE_FPS, 3),
-    }))
-    print(f'# compile={compile_s:.1f}s iters={iters} '
+        'batch_size': bsz,
+    }
+    if fps_np is not None:
+        rec['no_paste_img_s'] = round(fps_np, 3)
+    if mfu is not None:
+        rec['mfu'] = round(mfu, 4)
+        rec['flops_per_img_g'] = round(flops_per_img / 1e9, 1)
+    print(json.dumps(rec))
+    print(f'# iters={iters} bs={bsz} '
           f'device={jax.devices()[0].platform}', file=sys.stderr)
 
 
