@@ -139,9 +139,20 @@ def main():
     p.add_argument('--out', default=os.path.join(REPO, 'ACCURACY.json'))
     p.add_argument('--epochs', type=int, default=80)
     p.add_argument('--variants', default='faithful,all_stage')
+    p.add_argument('--platform', default='cpu', choices=['cpu', 'default'],
+                   help="'cpu' (default) keeps the toy run off the TPU — "
+                        'the shared .jax_cache makes CPU compiles near-'
+                        'instant, while one in-flight TPU compile blocks '
+                        'every other client of the chip')
     args = p.parse_args()
 
+    if args.platform == 'cpu':
+        # env alone does not stick — the harness sitecustomize registers
+        # the TPU plugin in every interpreter (same pattern as conftest.py)
+        os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
+    if args.platform == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     from test_data import make_synthetic_coco
 
     # persistent XLA compile cache (same dir as the test suite) — the toy
