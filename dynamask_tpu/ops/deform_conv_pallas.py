@@ -315,11 +315,11 @@ def deform_conv2d_frame(x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _dcn_rowmm_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
+def _dcn_rowmm_kernel(band_ref, rely_ref, relx_ref, out_ref, *,
                       S: int, Wp: int, cg: int, D: int, taps: int,
                       y_blk: int):
     NT = taps * S
-    dt = r_ref.dtype
+    dt = band_ref.dtype
     # column decomposition: col = t*S + x
     col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
     # relative input column of matrix row j for output column x:
@@ -330,18 +330,22 @@ def _dcn_rowmm_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
         rx = relx_ref[0, 0, y][None, :]                 # (1, NT) f32
         ry = rely_ref[0, 0, y][None, :]
         mx = jnp.maximum(1.0 - jnp.abs(rx - vv), 0.0).astype(dt)  # (Wp, NT)
-        lhs = r_ref[0, 0, y].reshape(8 * cg, Wp)        # u-major rows
-        g_all = jax.lax.dot_general(
-            lhs, mx, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (8cg, NT)
+        # the u-th window row of output y is band row y+u, a static lane
+        # slice of the row-flattened band — no 8x-stacked HBM tensor, no
+        # in-kernel concat (Mosaic rejects lane-concat at mixed offsets)
         samp = jnp.zeros((cg, NT), jnp.float32)
         for ui, u in enumerate(range(-D, D + 2)):
+            row_u = band_ref[0, 0, 0][:, (y + ui) * Wp:
+                                      (y + ui + 1) * Wp]   # (cg, Wp)
+            g_u = jax.lax.dot_general(
+                row_u, mx, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (cg, NT)
             wy = jnp.maximum(1.0 - jnp.abs(ry - u), 0.0)
-            samp = samp + g_all[ui * cg:(ui + 1) * cg] * wy
+            samp = samp + g_u * wy
         out_ref[0, 0, y] = samp.astype(out_ref.dtype)
 
 
-def _dcn_rowmm_yfold_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
+def _dcn_rowmm_yfold_kernel(band_ref, rely_ref, relx_ref, out_ref, *,
                             S: int, Wp: int, cg: int, D: int, taps: int,
                             y_blk: int):
     """Row-matmul sampling with the y-tents FOLDED INTO the matrix.
@@ -357,7 +361,7 @@ def _dcn_rowmm_yfold_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
     better and stays the dispatch default.
     """
     NT = taps * S
-    dt = r_ref.dtype
+    dt = band_ref.dtype
     col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
     vv = (jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
           - col_x - (D + 1)).astype(jnp.float32)
@@ -368,7 +372,9 @@ def _dcn_rowmm_yfold_kernel(r_ref, rely_ref, relx_ref, out_ref, *,
         m2 = jnp.concatenate(
             [(mx * jnp.maximum(1.0 - jnp.abs(ry - u), 0.0)).astype(dt)
              for u in range(-D, D + 2)], axis=0)        # (8*Wp, NT)
-        lhs = r_ref[0, 0, y]                            # (cg, 8*Wp)
+        # rows y+0..y+7 of the flattened band are CONTIGUOUS lanes — the
+        # whole u-major (cg, 8*Wp) lhs is one static lane slice
+        lhs = band_ref[0, 0, 0][:, y * Wp: (y + 8) * Wp]
         samp = jax.lax.dot_general(
             lhs, m2, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (cg, NT)
@@ -430,11 +436,26 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
     rel_y = rel_y.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
     rel_x = rel_x.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
 
-    # ---- u-stacked input rows: R[n,g,y,u,c,:] = xp[n,g,c,y+u+pad,:] ----
+    # ---- overlapping channel-major row bands ----
+    # Output row y consumes padded rows y+1..y+8; a y-block of y_blk rows
+    # therefore needs the (y_blk + 7)-row band starting at b*y_blk + 1. The
+    # previous revision materialized all 8 shifted copies as one HBM tensor
+    # (8x the plane bytes) and paid ~2.2 ms/img of XLA layout copies around
+    # the custom-calls (xplane-traced); bands carry < 2x the plane bytes and
+    # land already channel-major, so the kernel assembles each row's lhs
+    # from static in-VMEM slices instead.
     xg = x.reshape(n, S, S, g, cg)
     xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
-    r_rows = jnp.stack([xp[:, 1 + u: 1 + u + S] for u in range(8)],
-                       axis=1)                          # (n, 8, S_y, Wp, g, cg)
+    xpc = xp.transpose(0, 3, 4, 1, 2)      # (n, g, cg, S+2*pad, Wp)
+    nblk = S // y_blk
+    band_rows = y_blk + 7
+    bands = jnp.stack(
+        [jax.lax.slice_in_dim(xpc, b * y_blk + 1, b * y_blk + 1 + band_rows,
+                              axis=3) for b in range(nblk)],
+        axis=2)                            # (n, g, nblk, cg, y_blk+7, Wp)
+    # rows flattened into lanes: row r of band b occupies lanes
+    # [r*Wp, (r+1)*Wp) — 8 consecutive rows form one contiguous lane slice
+    bands = bands.reshape(n, g, nblk, cg, band_rows * Wp)
 
     # Kernel dispatch (see _dcn_rowmm_yfold_kernel): with cg >= 128 the
     # y-folded (cg, 8Wp) @ (8Wp, NT) form fills the MXU contraction depth
@@ -462,55 +483,30 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
                > 14 * 2 ** 20):
             cg_blk //= 2
 
-    if yfold:
-        r2 = r_rows.transpose(0, 4, 2, 5, 1, 3) \
-            .reshape(n, g, S, cg, 8 * Wp)               # (n,g,S_y,c,(u,Wp))
-        kern = functools.partial(_dcn_rowmm_yfold_kernel, S=S, Wp=Wp,
-                                 cg=cg_blk, D=D, taps=taps, y_blk=y_blk)
-        samp = pl.pallas_call(
-            kern,
-            grid=(n, g, S // y_blk, cg // cg_blk),
-            in_specs=[
-                pl.BlockSpec((1, 1, y_blk, cg_blk, 8 * Wp),
-                             lambda i, j, b, cb: (i, j, b, cb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, y_blk, NT),
-                             lambda i, j, b, cb: (i, j, b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, y_blk, NT),
-                             lambda i, j, b, cb: (i, j, b, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
-                                   lambda i, j, b, cb: (i, j, b, cb, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
-            interpret=interpret,
-        )(r2, rel_y, rel_x)
-    else:
-        r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)     # (n, g, S_y, 8, cg, Wp)
-        kern = functools.partial(_dcn_rowmm_kernel, S=S, Wp=Wp, cg=cg_blk,
-                                 D=D, taps=taps, y_blk=y_blk)
-        samp = pl.pallas_call(
-            kern,
-            grid=(n, g, S // y_blk, cg // cg_blk),
-            in_specs=[
-                pl.BlockSpec((1, 1, y_blk, 8, cg_blk, Wp),
-                             lambda i, j, b, cb: (i, j, b, 0, cb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, y_blk, NT),
-                             lambda i, j, b, cb: (i, j, b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, y_blk, NT),
-                             lambda i, j, b, cb: (i, j, b, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
-                                   lambda i, j, b, cb: (i, j, b, cb, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
-            interpret=interpret,
-        )(r_rows, rel_y, rel_x)
+    band_specs = [
+        pl.BlockSpec((1, 1, 1, cg_blk, band_rows * Wp),
+                     lambda i, j, b, cb: (i, j, b, cb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, y_blk, NT),
+                     lambda i, j, b, cb: (i, j, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, y_blk, NT),
+                     lambda i, j, b, cb: (i, j, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kern_fn = _dcn_rowmm_yfold_kernel if yfold else _dcn_rowmm_kernel
+    kern = functools.partial(kern_fn, S=S, Wp=Wp, cg=cg_blk, D=D,
+                             taps=taps, y_blk=y_blk)
+    samp = pl.pallas_call(
+        kern,
+        grid=(n, g, S // y_blk, cg // cg_blk),
+        in_specs=band_specs,
+        out_specs=pl.BlockSpec((1, 1, y_blk, cg_blk, NT),
+                               lambda i, j, b, cb: (i, j, b, cb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, g, S, cg, NT), x.dtype),
+        interpret=interpret,
+    )(bands, rel_y, rel_x)
 
     if return_sampled:
         return samp                      # (n, g, S, cg, taps*S), pre-GEMM
