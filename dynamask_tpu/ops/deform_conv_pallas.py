@@ -532,12 +532,15 @@ def deform_conv2d_rowmm(x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _dcn_rowmm_bwd_kernel(r_ref, rely_ref, relx_ref, dsamp_ref,
+def _dcn_rowmm_bwd_kernel(band_ref, rely_ref, relx_ref, dsamp_ref,
                           dl_ref, dry_ref, drx_ref, *,
                           S: int, Wp: int, cg: int, D: int, taps: int,
                           y_blk: int):
+    """Per-u banded form of the analytic vjp — same math as the original
+    8cg-stacked formulation, the matmuls just run one window row at a time
+    against the flattened band (see the forward kernels)."""
     NT = taps * S
-    dt = r_ref.dtype
+    dt = band_ref.dtype
     col_x = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 1), S)
     vv = (jax.lax.broadcasted_iota(jnp.int32, (Wp, NT), 0)
           - col_x - (D + 1)).astype(jnp.float32)
@@ -546,35 +549,34 @@ def _dcn_rowmm_bwd_kernel(r_ref, rely_ref, relx_ref, dsamp_ref,
         ry = rely_ref[0, 0, y][None, :]
         zx = rx - vv                                    # (Wp, NT)
         mx = jnp.maximum(1.0 - jnp.abs(zx), 0.0)
-        lhs = r_ref[0, 0, y].reshape(8 * cg, Wp)
+        mxd = mx.astype(dt)
         dsamp = dsamp_ref[0, 0, y].astype(jnp.float32)  # (cg, NT)
-        # d_G rows (u-major) and the recomputed G for d_wy
-        g_all = jax.lax.dot_general(
-            lhs, mx.astype(dt), dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (8cg, NT)
-        dg_rows = []
         dry = jnp.zeros((1, NT), jnp.float32)
+        dmx = jnp.zeros((Wp, NT), jnp.float32)
         for ui, u in enumerate(range(-D, D + 2)):
+            row_u = band_ref[0, 0, 0][:, (y + ui) * Wp:
+                                      (y + ui + 1) * Wp]  # (cg, Wp)
+            # recomputed G_u for d_wy
+            g_u = jax.lax.dot_general(
+                row_u, mxd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (cg, NT)
             zy = ry - u
             wy = jnp.maximum(1.0 - jnp.abs(zy), 0.0)
-            dg_u = dsamp * wy                           # (cg, NT)
-            dg_rows.append(dg_u)
+            dg_u = dsamp * wy                             # (cg, NT)
             # d_wy = sum_c G_u * d_samp ; dtent/dz = -sign(z) on |z|<1
-            dwy = jnp.sum(g_all[ui * cg:(ui + 1) * cg] * dsamp,
-                          axis=0, keepdims=True)
+            dwy = jnp.sum(g_u * dsamp, axis=0, keepdims=True)
             dry = dry + dwy * jnp.where(jnp.abs(zy) < 1.0,
                                         -jnp.sign(zy), 0.0)
-        dg = jnp.concatenate(dg_rows, axis=0)           # (8cg, NT)
-        # d_L = d_G @ Mx^T  -> (8cg, Wp)
-        dl = jax.lax.dot_general(
-            dg.astype(dt), mx.astype(dt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dl_ref[0, 0, y] = dl.reshape(8, cg, Wp).astype(dl_ref.dtype)
-        # d_Mx = L^T @ d_G -> (Wp, NT); offset-x grad via dtent
-        dmx = jax.lax.dot_general(
-            lhs, dg.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dg_u_dt = dg_u.astype(dt)
+            # d_L_u = d_G_u @ Mx^T -> (cg, Wp)
+            dl_u = jax.lax.dot_general(
+                dg_u_dt, mxd, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl_ref[0, 0, y, ui] = dl_u.astype(dl_ref.dtype)
+            # d_Mx accumulates row_u^T @ d_G_u -> (Wp, NT)
+            dmx = dmx + jax.lax.dot_general(
+                row_u, dg_u_dt, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         drx = jnp.sum(dmx * jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0),
                       axis=0, keepdims=True)
         dry_ref[0, 0, y] = dry[0]
@@ -607,13 +609,22 @@ def _rowmm_prep(x, offsets, k, padding, dilation, g, D):
     rel_x = rel_x.transpose(0, 1, 3, 2, 4).reshape(n, g, S, NT)
     xg = x.reshape(n, S, S, g, cg)
     xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
-    r_rows = jnp.stack([xp[:, 1 + u: 1 + u + S] for u in range(8)], axis=1)
-    r_rows = r_rows.transpose(0, 4, 2, 1, 5, 3)     # (n, g, S, 8, cg, Wp)
+    # overlapping channel-major row bands with rows flattened into lanes
+    # (same construction as the forward — see deform_conv2d_rowmm)
+    xpc = xp.transpose(0, 3, 4, 1, 2)               # (n, g, cg, S+2p, Wp)
+    y_blk = 8 if S % 8 == 0 else S
+    Wp = S + 2 * pad
+    nblk = S // y_blk
+    band_rows = y_blk + 7
+    bands = jnp.stack(
+        [jax.lax.slice_in_dim(xpc, b * y_blk + 1, b * y_blk + 1 + band_rows,
+                              axis=3) for b in range(nblk)],
+        axis=2).reshape(n, g, nblk, cg, band_rows * Wp)
     # gradient masks through where/clip: pass-through only where the
     # unclipped rel is strictly inside the window AND in-bounds
     grad_mask_y = ins_y & (jnp.abs(rel_y0) < D)
     grad_mask_x = ins_x & (jnp.abs(rel_x0) < D)
-    return r_rows, rel_y, rel_x, grad_mask_y, grad_mask_x
+    return bands, rel_y, rel_x, grad_mask_y, grad_mask_x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -652,8 +663,9 @@ def _rowmm_ad_bwd(kernel_size, padding, dilation, deform_groups, window,
     NT = taps * S
     y_blk = 8 if S % 8 == 0 else S
 
-    r_rows, rel_y, rel_x, gmask_y, gmask_x = _rowmm_prep(
+    bands, rel_y, rel_x, gmask_y, gmask_x = _rowmm_prep(
         x, offsets, k, padding, dilation, g, D)
+    band_rows = y_blk + 7
 
     # d_samp seed and (via one forward kernel call) the weight gradient
     w_tap = weights.reshape(taps, g, cg, c_out).astype(x.dtype)
@@ -674,8 +686,8 @@ def _rowmm_ad_bwd(kernel_size, padding, dilation, deform_groups, window,
         kern,
         grid=(n, g, S // y_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, y_blk, 8, cg, Wp),
-                         lambda i, j, b: (i, j, b, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, cg, band_rows * Wp),
+                         lambda i, j, b: (i, j, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, y_blk, NT), lambda i, j, b: (i, j, b, 0),
                          memory_space=pltpu.VMEM),
@@ -702,7 +714,7 @@ def _rowmm_ad_bwd(kernel_size, padding, dilation, deform_groups, window,
             jax.ShapeDtypeStruct((n, g, S, NT), jnp.float32),
         ],
         interpret=interpret,
-    )(r_rows, rel_y, rel_x, dsamp)
+    )(bands, rel_y, rel_x, dsamp)
 
     # ---- un-stack d_L back onto the padded input plane ----
     # r_rows[n,g,y,u,c,j] = xp[n, y+u+1, j, g, c]
