@@ -23,12 +23,20 @@ def _ocp():
 
 def save_checkpoint(work_dir: str, state, epoch: int,
                     meta: Optional[Dict[str, Any]] = None) -> str:
-    """Write ``epoch_{N}`` + refresh ``latest`` pointer."""
-    ocp = _ocp()
+    """Write ``epoch_{N}`` + refresh ``latest`` pointer.
+
+    Multi-process: EVERY process calls orbax (its checkpointer runs its own
+    cross-process barriers and writes each array from its primary replica
+    only — skipping ranks here deadlocks those barriers); the small
+    meta/latest sidecar files are rank-0-only (the reference
+    CheckpointHook's master_only rule)."""
     path = osp.abspath(osp.join(work_dir, f'epoch_{epoch}'))
+    ocp = _ocp()
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, jax.device_get(state), force=True)
     ckpt.wait_until_finished()
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path
     meta = dict(meta or {})
     meta['epoch'] = epoch
     meta['step'] = int(jax.device_get(state.step))

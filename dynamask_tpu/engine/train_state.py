@@ -101,6 +101,49 @@ def shard_batch_spec(batch: Dict[str, jnp.ndarray], axis: str = 'data'):
     return jax.tree_util.tree_map(lambda _: P(axis), batch)
 
 
+def _is_global(x) -> bool:
+    """True for a jax.Array spanning non-addressable devices (multi-host)."""
+    return isinstance(x, jax.Array) and not x.is_fully_addressable
+
+
+def _make_placer(mesh: Mesh, axis: str):
+    """Host-side batch/state placement shared by both train-step builders.
+
+    Single-process: plain device_put to the mesh shardings. Multi-process:
+    each host contributes its 1/n_proc loader shard of the global batch
+    (``make_array_from_process_local_data`` — the reference equivalent is
+    DistributedSampler feeding per-rank DDP, mmdet/apis/train.py:71-79),
+    and replicated state/rng lift to global arrays. Values that are ALREADY
+    global pass through untouched, so the train loop can call place() every
+    iteration (only the fresh host batch actually converts).
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+
+    def place(state, batch, rng):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            batch = jax.tree_util.tree_map(
+                lambda x: x if _is_global(x) else
+                jax.make_array_from_process_local_data(
+                    shard, np.asarray(x)), batch)
+            if not any(_is_global(leaf) for leaf in
+                       jax.tree_util.tree_leaves(state)):
+                state = multihost_utils.host_local_array_to_global_array(
+                    state, mesh, P())
+            if not _is_global(rng):
+                rng = multihost_utils.host_local_array_to_global_array(
+                    rng, mesh, P())
+        else:
+            state = jax.device_put(state, repl)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, shard), batch)
+            rng = jax.device_put(rng, repl)
+        return state, batch, rng
+
+    return place
+
+
 def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data',
                        compute_dtype=None):
     """DDP-faithful train step under ``shard_map`` with ONE fused gradient
@@ -179,17 +222,7 @@ def jit_train_step_ddp(det, tx, mesh: Mesh, axis: str = 'data',
 
     fn = smap(local_step,
               in_specs=(P(), P(axis), P()), out_specs=(P(), P()))
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis))
-
-    def place(state, batch, rng):
-        state = jax.device_put(state, repl)
-        batch = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard), batch)
-        rng = jax.device_put(rng, repl)
-        return state, batch, rng
-
-    return jax.jit(fn, donate_argnums=(0,)), place
+    return jax.jit(fn, donate_argnums=(0,)), _make_placer(mesh, axis)
 
 
 def jit_train_step_sharded(det, tx, mesh: Mesh, axis: str = 'data',
@@ -197,31 +230,5 @@ def jit_train_step_sharded(det, tx, mesh: Mesh, axis: str = 'data',
     """jit the train step with explicit shardings: batch split over ``axis``,
     state replicated. XLA emits psum for the gradient reduction."""
     step_fn = make_train_step(det, tx, compute_dtype=compute_dtype)
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis))
-
-    def batch_sharding(batch):
-        return jax.tree_util.tree_map(lambda _: shard, batch)
-
-    def place(state, batch, rng):
-        if jax.process_count() > 1:
-            # multi-host: every process holds its own loader shard; build
-            # the global batch from the per-process local data (reference
-            # equivalent: DistributedSampler + DDP,
-            # mmdet/apis/train.py:71-79 + datasets/loader/build_loader.py)
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.make_array_from_process_local_data(shard, x),
-                batch)
-            from jax.experimental import multihost_utils
-            state = multihost_utils.host_local_array_to_global_array(
-                state, mesh, P())
-            rng = multihost_utils.host_local_array_to_global_array(
-                rng, mesh, P())
-        else:
-            state = jax.device_put(state, repl)
-            batch = jax.device_put(batch, batch_sharding(batch))
-            rng = jax.device_put(rng, repl)
-        return state, batch, rng
-
     jitted = jax.jit(step_fn, donate_argnums=(0,))
-    return jitted, place
+    return jitted, _make_placer(mesh, axis)

@@ -31,6 +31,10 @@ def main():
     ap.add_argument('--process-id', type=int, required=True)
     ap.add_argument('--out', required=True)
     ap.add_argument('--steps', type=int, default=2)
+    ap.add_argument('--data-dir', default=None,
+                    help='synthetic COCO dir (ann.json + imgs/) prepared by '
+                         'the parent; enables the full train_detector phase')
+    ap.add_argument('--work-dir', default=None)
     args = ap.parse_args()
 
     os.environ['JAX_PLATFORMS'] = 'cpu'
@@ -120,11 +124,53 @@ def main():
         (int(r['img_id']), float(np.sum(r['dets'])),
          int(np.sum(r['valid']))) for r in results)
 
+    # ---- full train_detector API, multi-process ------------------------
+    # exercises apis/train.py's per-process loader sharding
+    # (num_shards=n_proc), the shared multi-process place(), and the
+    # rank-0-only checkpoint write (engine/checkpoint.py)
+    train_api = None
+    if args.data_dir:
+        import glob
+        from pathlib import Path
+        from test_integration import toy_cfg
+        from dynamask_tpu.apis import train_detector
+        data = Path(args.data_dir)
+        work = Path(args.work_dir or (data / f'work{pid}'))
+        cfg = toy_cfg(str(data / 'ann.json'), str(data / 'imgs'), work)
+        cfg.data['samples_per_gpu'] = 1      # global batch = 1 x 4 devices
+        cfg.total_epochs = 1
+        state2 = train_detector(cfg, work_dir=str(work), seed=0,
+                                max_steps_per_epoch=2, validate=False)
+        p2 = jax.device_get(state2.params)
+        leaves2 = jax.tree_util.tree_leaves(p2)
+        heads2 = np.concatenate([np.ravel(np.asarray(x))[:4]
+                                 for x in leaves2])
+        logs = sorted(glob.glob(str(work / '*.log.json')))
+        losses2 = []
+        for line in open(logs[-1]):
+            r = json.loads(line)
+            if r.get('mode') == 'train':
+                losses2.append(float(r['loss']))
+        # the meta/latest sidecars are rank-0-only and land AFTER orbax's
+        # cross-process commit barrier — give rank 0 a moment
+        import time as _time
+        for _ in range(100):
+            if (work / 'latest').exists():
+                break
+            _time.sleep(0.1)
+        train_api = {
+            'losses': losses2,
+            'param_heads': heads2.tolist(),
+            'step': int(jax.device_get(state2.step)),
+            'ckpt_exists': (work / 'epoch_1').exists(),
+            'latest_exists': (work / 'latest').exists(),
+        }
+
     with open(args.out, 'w') as f:
         json.dump({'pid': pid, 'n_proc': n_proc, 'n_local': n_local,
                    'n_global': jax.device_count(), 'losses': losses,
                    'param_norm': pnorm, 'param_heads': heads.tolist(),
-                   'eval': res_summary}, f)
+                   'eval': res_summary, 'train_api': train_api}, f)
     print(f'[worker {pid}] OK', flush=True)
 
 

@@ -36,7 +36,11 @@ def _free_port():
 
 @pytest.fixture(scope='module')
 def worker_outputs(tmp_path_factory):
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_data import make_synthetic_coco
     tmp = tmp_path_factory.mktemp('multihost')
+    make_synthetic_coco(tmp, num_imgs=8)        # ann.json + imgs/
+    (tmp / 'work_shared').mkdir()
     port = _free_port()
     outs = [str(tmp / f'out{i}.json') for i in range(2)]
     worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
@@ -50,7 +54,8 @@ def worker_outputs(tmp_path_factory):
         procs.append(subprocess.Popen(
             [sys.executable, worker, '--coordinator', f'localhost:{port}',
              '--num-processes', '2', '--process-id', str(i),
-             '--out', outs[i]],
+             '--out', outs[i], '--data-dir', str(tmp),
+             '--work-dir', str(tmp / 'work_shared')],
             stdout=log, stderr=subprocess.STDOUT, env=env))
     rcs = [p.wait(timeout=900) for p in procs]
     for log in logs:
@@ -116,6 +121,23 @@ class TestMultiHost:
         pnorm = float(np.sqrt(sum(float(np.sum(np.asarray(x) ** 2.0))
                                   for x in leaves)))
         assert pnorm == pytest.approx(ref['param_norm'], rel=1e-5)
+
+    def test_train_detector_api_multiprocess(self, worker_outputs):
+        """The FULL train_detector API (per-process loader shards, shared
+        multi-process place(), rank-0-only checkpoint write into a SHARED
+        work dir) runs 2-process and leaves both processes bit-identical."""
+        a, b = worker_outputs
+        ta, tb = a['train_api'], b['train_api']
+        assert ta and tb
+        assert ta['step'] == tb['step'] == 2
+        assert ta['losses'] and np.isfinite(ta['losses']).all()
+        assert ta['losses'] == pytest.approx(tb['losses'], rel=1e-6)
+        np.testing.assert_allclose(ta['param_heads'], tb['param_heads'],
+                                   rtol=1e-6)
+        # the shared-dir checkpoint exists for BOTH processes (single
+        # writer, barrier before anyone proceeds)
+        assert ta['ckpt_exists'] and tb['ckpt_exists']
+        assert ta['latest_exists'] and tb['latest_exists']
 
     def test_eval_gather_complete_on_every_process(self, worker_outputs):
         """process_allgather must leave the FULL 8-image result set on both
