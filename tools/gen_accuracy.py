@@ -113,8 +113,15 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir):
         'loss_curve': _loss_curve(work),
         'eval': {},
     }
-    for mode in ('faithful', 'dynamic'):
-        cfg.model.roi_head['dynamic_inference'] = (mode == 'dynamic')
+    # three inference modes: faithful cascade; dynamic at the SHIPPED
+    # capacities (what bench.py times); dynamic at FULL capacity — the
+    # latter isolates pure MSM-routing quality from capacity-clip cost
+    modes = (('faithful', None), ('dynamic', (0.5, 0.25, 0.125)),
+             ('dynamic_full_capacity', (1.0, 1.0, 1.0)))
+    for mode, caps in modes:
+        cfg.model.roi_head['dynamic_inference'] = caps is not None
+        if caps is not None:
+            cfg.model.roi_head['dynamic_capacity'] = caps
         det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
         t0 = time.time()
         results = single_device_test(det, variables, dataset,
@@ -126,12 +133,39 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir):
                if isinstance(v, (int, float))},
             'eval_wall_s': round(time.time() - t0, 1),
         }
+        if caps is not None:
+            record['eval'][mode]['capacities'] = list(caps)
         if mode == 'dynamic':
-            record['eval'][mode]['capacities'] = [0.5, 0.25, 0.125]
-    f, d = record['eval']['faithful'], record['eval']['dynamic']
+            record['eval'][mode]['routing'] = _routing_stats(
+                det, variables, dataset)
+    f = record['eval']['faithful']
+    d = record['eval']['dynamic']
+    dfull = record['eval']['dynamic_full_capacity']
     record['segm_mAP_delta_dynamic_vs_faithful'] = round(
         d.get('segm_mAP', float('nan')) - f.get('segm_mAP', float('nan')), 4)
+    record['segm_mAP_delta_capacity_clip'] = round(
+        d.get('segm_mAP', float('nan'))
+        - dfull.get('segm_mAP', float('nan')), 4)
     return record
+
+
+def _routing_stats(det, variables, dataset):
+    """MSM routing histogram + clip accounting over one eval batch (the
+    observability sown by _dynamic_test_mask)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamask_tpu.data import build_dataloader
+    loader = build_dataloader(dataset, samples_per_gpu=2, workers_per_gpu=2,
+                              shuffle=False, drop_last=False)
+    batch_np = next(iter(loader))
+    batch_np.pop('img_id', None)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, inter = det.apply(variables, batch, method='simple_test',
+                         mutable=['intermediates'])
+    st = inter['intermediates']['roi_head']['msm_routing'][0]
+    return {k: np.asarray(st[k]).tolist()
+            for k in ('hist', 'demand', 'capacity', 'clipped')}
 
 
 def main():
