@@ -92,6 +92,11 @@ def _render_results(args, cfg, dataset, results, classes):
 
 def main():
     args = parse_args()
+    if os.environ.get('JAX_PLATFORMS'):
+        # honor the env var even when a sitecustomize pre-registered a
+        # different platform plugin (jax.config wins over registration)
+        import jax
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     from dynamask_tpu.utils.config import Config
     from dynamask_tpu.apis.inference import init_detector
     from dynamask_tpu.apis.test import (single_device_test,

@@ -42,6 +42,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if os.environ.get('JAX_PLATFORMS'):
+        # honor the env var even when a sitecustomize pre-registered a
+        # different platform plugin (jax.config wins over registration) —
+        # e.g. JAX_PLATFORMS=cpu for a hermetic smoke run on a TPU host
+        import jax
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     if args.launcher == 'jax' or os.environ.get('JAX_COORDINATOR_ADDRESS'):
         # multi-host init BEFORE first jax use (coordinator/process ids from
         # the standard env vars or TPU metadata); reference:
