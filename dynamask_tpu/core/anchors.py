@@ -83,16 +83,22 @@ class AnchorGenerator:
 
     def single_level_grid_anchors(self, featmap_size: Tuple[int, int],
                                   level: int) -> jnp.ndarray:
-        """Anchors of one level, shape ``(H*W*A, 4)``, location-major."""
+        """Anchors of one level, shape ``(H*W*A, 4)``, location-major.
+
+        Computed in NUMPY at trace time: featmap sizes are always static,
+        so the grid is a pure compile-time constant — as jnp ops it was
+        re-materialized on device EVERY call (xplane: a 0.33 ms/img
+        f32[201600,4] reshape chain inside the inference loop that XLA's
+        constant folding declines to fold at this size)."""
         feat_h, feat_w = featmap_size
         stride_w, stride_h = self.strides[level]
-        shift_x = jnp.arange(feat_w, dtype=jnp.float32) * stride_w
-        shift_y = jnp.arange(feat_h, dtype=jnp.float32) * stride_h
-        sx, sy = jnp.meshgrid(shift_x, shift_y)  # (H, W) each
-        shifts = jnp.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 4)
-        base = jnp.asarray(self.base_anchors[level])
+        shift_x = np.arange(feat_w, dtype=np.float32) * stride_w
+        shift_y = np.arange(feat_h, dtype=np.float32) * stride_h
+        sx, sy = np.meshgrid(shift_x, shift_y)   # (H, W) each
+        shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 4)
+        base = np.asarray(self.base_anchors[level], np.float32)
         anchors = shifts[:, None, :] + base[None, :, :]
-        return anchors.reshape(-1, 4)
+        return jnp.asarray(anchors.reshape(-1, 4))
 
     def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[jnp.ndarray]:
         assert len(featmap_sizes) == self.num_levels
