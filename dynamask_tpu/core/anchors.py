@@ -247,12 +247,15 @@ class PointGenerator:
     """Grid point generator for anchor-free heads (reference: point_generator.py)."""
 
     def grid_points(self, featmap_size: Tuple[int, int], stride: int) -> jnp.ndarray:
+        # numpy at trace time: static sizes -> compile-time constant
+        # (same rationale as AnchorGenerator.single_level_grid_anchors)
         feat_h, feat_w = featmap_size
-        shift_x = jnp.arange(feat_w, dtype=jnp.float32) * stride
-        shift_y = jnp.arange(feat_h, dtype=jnp.float32) * stride
-        sx, sy = jnp.meshgrid(shift_x, shift_y)
-        strides = jnp.full_like(sx, stride)
-        return jnp.stack([sx, sy, strides], axis=-1).reshape(-1, 3)
+        shift_x = np.arange(feat_w, dtype=np.float32) * stride
+        shift_y = np.arange(feat_h, dtype=np.float32) * stride
+        sx, sy = np.meshgrid(shift_x, shift_y)
+        strides = np.full_like(sx, stride, dtype=np.float32)
+        return jnp.asarray(
+            np.stack([sx, sy, strides], axis=-1).reshape(-1, 3))
 
 
 def images_to_levels(target: jnp.ndarray,
