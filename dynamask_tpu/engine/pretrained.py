@@ -207,6 +207,11 @@ def _mmdet_key(key: str) -> Optional[Tuple[List[str], str, Dict]]:
                  r'num_batches_tracked)$', key)
     if m:
         return ['roi_head', 'mask_predictor', m.group(1)], m.group(2), {}
+    # the trainable detail-target fuse kernel lives under the loss module in
+    # the reference (cross_entropy_loss.py:371 DetailTarget.fuse_kernel,
+    # shape (1, 2, 1, 1)); here it is a (2,) roi_head param
+    if key == 'roi_head.mask_head.loss_func.detail_target.fuse_kernel':
+        return ['roi_head'], 'detail_fuse_kernel', {}
     return None
 
 
@@ -269,6 +274,9 @@ def _convert_leaf(value: np.ndarray, torch_leaf: str, flax_target,
         return ['mean'], value
     elif torch_leaf == 'running_var':
         return ['var'], value
+    elif torch_leaf == 'detail_fuse_kernel':
+        # (1, 2, 1, 1) 1x1-conv fuse kernel -> (2,) weights
+        return ['detail_fuse_weights'], value.reshape(2)
     return None
 
 

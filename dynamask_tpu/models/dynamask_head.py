@@ -344,11 +344,17 @@ class MaskPre(nn.Module):
         return nn.Dense(self.num_choices, name='fc2')(x)
 
 
-def gumbel_softmax(rng: jax.Array, logits: jnp.ndarray,
+def gumbel_softmax(rng: Optional[jax.Array], logits: jnp.ndarray,
                    temperature: float = 0.5, hard: bool = True,
-                   eps: float = 1e-20) -> jnp.ndarray:
-    """Straight-through Gumbel-softmax (reference dynamask_roi_head.py:84-114)."""
-    u = jax.random.uniform(rng, logits.shape)
+                   eps: float = 1e-20,
+                   u: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Straight-through Gumbel-softmax (reference dynamask_roi_head.py:84-114).
+
+    ``u`` optionally injects the uniform noise directly (parity tests feed
+    the SAME noise to this and a torch twin); default samples from ``rng``.
+    """
+    if u is None:
+        u = jax.random.uniform(rng, logits.shape)
     g = -jnp.log(jnp.maximum(-jnp.log(jnp.maximum(u, eps)), eps))
     y = jax.nn.softmax((logits + g) / temperature, axis=-1)
     if not hard:

@@ -132,8 +132,13 @@ def dyna_mask_loss(stage_instance_preds: Sequence[jnp.ndarray],
         ll = det_target * jnp.log(jnp.maximum(x, eps)) + \
             (1.0 - det_target) * jnp.log(jnp.maximum(1.0 - x, eps))
         px = det_logit.shape[1] * det_logit.shape[2]
+        # the reference DETACHES the normalizer (`.detach().item()`,
+        # cross_entropy_loss.py:462): gradient flows through the routing
+        # weights in the NUMERATOR only. Verified against a torch twin in
+        # tests/test_torch_twin_train.py.
+        n_routed = jax.lax.stop_gradient(jnp.sum(w_roi))
         det = -jnp.sum(jnp.sum(ll, axis=(1, 2)) * w_roi) / \
-            (px * (jnp.sum(w_roi) + 1e-5))
+            (px * (n_routed + 1e-5))
         detail_losses.append(det)
 
     # class-balance entropy over the routing distribution
