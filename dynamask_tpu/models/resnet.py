@@ -42,6 +42,52 @@ def _build_plugin(type_name: str, args: Tuple, channels: int, name: str):
     return cls(in_channels=channels, name=name, **kwargs)
 
 
+class S2DStemConv(nn.Module):
+    """Param-identical MXU-friendly rewrite of the 7x7/2 stem conv.
+
+    The reference stem (resnet.py:304-651 / torchvision) is a 7x7 stride-2
+    conv on 3 input channels — a contraction depth of 3 that tiles terribly
+    onto the 128x128 MXU (measured ~16 TFLOP/s, 1.45 ms of the 22 ms/img
+    inference budget; README roofline). Exact algebraic rewrite:
+
+      space_to_depth(2) packs (N, H, W, 3) -> (N, H/2, W/2, 12); the stride-2
+      7x7 conv becomes a stride-1 4x4 conv on 12 channels whose kernel is a
+      REPACK of the same (7, 7, 3, 64) parameter: output row r=2i reads taps
+      x[2i+t], t in [-3, 3]; packed pixel j holds x[2j], x[2j+1], so
+      t = 2(ky-2) + sy for kernel row ky in [0, 4) and subpixel sy —
+      an 8-tap span whose t=-4 slot ((ky, sy) = (0, 0)) is zero.
+
+    The parameter keeps the name/shape ``conv1/kernel (7, 7, 3, 64)`` —
+    checkpoints, the torch importer, and frozen_stages masks are unchanged;
+    the repack is a trace-time reshape XLA folds into the conv. Exactness is
+    asserted by tests/test_stem_s2d.py (vs the plain lax conv, all offsets).
+    Odd H/W falls back to the plain 7x7/2 conv (same parameter).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param('kernel', kaiming_normal_fan_out(),
+                            (7, 7, c, self.features))
+        kernel = kernel.astype(x.dtype)
+        n, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        xp = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, c, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            xp, kp, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class _BlockBase(nn.Module):
     """Shared conv/norm/plugin helpers for the residual blocks."""
 
@@ -271,9 +317,9 @@ class ResNet(nn.Module):
                 x = stem_norm(x, f'stem_bn{i + 1}')
                 x = nn.relu(x)
         else:
-            x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=False,
-                        kernel_init=kaiming_normal_fan_out(), name='conv1')(x)
+            # exact space-to-depth rewrite of the 7x7/2 conv (param tree
+            # unchanged: conv1/kernel stays (7, 7, 3, 64)) — see S2DStemConv
+            x = S2DStemConv(self.stem_channels, name='conv1')(x)
             x = stem_norm(x, 'bn1')
             x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=1)
