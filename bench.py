@@ -32,6 +32,50 @@ BASELINE_FPS = 16.1  # Mask R-CNN R50-FPN 1x, 1xV100 (BASELINE.md)
 V5E_PEAK_FLOPS = 197e12
 
 
+def _graft_toy_msm(variables, ckpt_path):
+    """Copy trained mask_predictor leaves from a toy checkpoint into the
+    flagship variable tree (in place, host side). Shape-matching leaves copy
+    verbatim; conv1's (1, 1, 32, 128) kernel is zero-embedded into the
+    flagship (1, 1, 256, 128)."""
+    import sys as _sys
+    from dynamask_tpu.engine.checkpoint import _resolve_ckpt_path
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(
+        _resolve_ckpt_path(os.path.abspath(ckpt_path)))
+    stats = {'copied': 0, 'embedded': 0, 'skipped': 0}
+
+    def walk(src, dst):
+        for k, dv in dst.items():
+            if k not in src:
+                stats['skipped'] += 1
+                continue
+            if isinstance(dv, dict):
+                walk(src[k], dv)
+                continue
+            a = np.asarray(src[k])
+            if a.shape == dv.shape:
+                dst[k] = a.astype(dv.dtype)
+                stats['copied'] += 1
+            elif (a.ndim == 4 and a.shape[:2] == (1, 1)
+                  and a.shape[3] == dv.shape[3]
+                  and a.shape[2] < dv.shape[2]):
+                out = np.zeros(dv.shape, dv.dtype)
+                out[:, :, :a.shape[2], :] = a
+                dst[k] = out
+                stats['embedded'] += 1
+            else:
+                stats['skipped'] += 1
+
+    for coll in ('params', 'batch_stats'):
+        src = (restored.get(coll) or {}).get('roi_head',
+                                             {}).get('mask_predictor')
+        dst = (variables.get(coll) or {}).get('roi_head',
+                                              {}).get('mask_predictor')
+        if src and dst:
+            walk(src, dst)
+    print(f'# msm graft from {ckpt_path}: {stats}', file=_sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -41,8 +85,15 @@ def main():
 
     dynamic = os.environ.get('BENCH_DYNAMIC', '1') == '1'
     # dynamic=True is the north-star speed mode (MSM-routed bucketed
-    # resolution); dynamic=False is the reference-faithful full cascade
-    det, _ = _build_flagship(dynamic=dynamic)
+    # resolution); dynamic=False is the reference-faithful full cascade.
+    # BENCH_CAPACITY overrides the static admission fractions — set it to
+    # the CAPACITY.json calibration so BENCH and ACCURACY describe the SAME
+    # operating point (tools/calibrate_capacity.py).
+    capacity = None
+    if os.environ.get('BENCH_CAPACITY'):
+        capacity = tuple(float(c) for c in
+                         os.environ['BENCH_CAPACITY'].split(','))
+    det, _ = _build_flagship(dynamic=dynamic, capacity=capacity)
     h, w = 800, 1344
     # BENCH_BS>1: serving-style batched throughput (bs=1 is the reference
     # protocol and the default; img/s scales with the batched work)
@@ -70,6 +121,18 @@ def main():
         variables = dict(variables)
         variables['batch_stats'] = jax.tree_util.tree_map(
             lambda x: np.abs(x) + 0.5, variables['batch_stats'])
+    msm_grafted = False
+    if os.environ.get('BENCH_MSM_CKPT'):
+        # graft the toy-overfit-TRAINED Mask Switch Module into the random
+        # flagship weights so the routing histogram reflects a trained
+        # switch rather than random-init degeneracy. All MSM leaves match
+        # the flagship shapes except conv1's kernel (toy P2 has 32 channels,
+        # flagship 256): zero-embedding it into the first 32 input channels
+        # makes the grafted MSM compute EXACTLY the trained toy switch
+        # applied to a 32-channel slice of P2 — a real trained routing
+        # function, documented as such.
+        _graft_toy_msm(variables, os.environ['BENCH_MSM_CKPT'])
+        msm_grafted = True
     variables = jax.device_put(variables)
 
     fuse = os.environ.get('BENCH_FUSE', '1') == '1'
@@ -154,24 +217,40 @@ def main():
     if os.environ.get('BENCH_NOPASTE', '1') == '1':
         fps_np = measure(make_loop(paste=False))
 
-    # MFU from XLA cost analysis of the ACTUAL timed executable. The fori
-    # body may be counted once or trip-count times depending on backend;
-    # disambiguate by magnitude (per-image flops for this model is known to
-    # sit near 0.7 TFLOPs — tools/get_flops.py: 681.65 GFLOPs faithful).
+    # MFU flop count from a SINGLE-ITERATION lowering (no fori loop, so no
+    # body-counted-once-or-N-times ambiguity); Lowered.cost_analysis() needs
+    # no backend compile. Falls back to the timed executable's count with
+    # the magnitude heuristic if single-iter analysis is unavailable.
     mfu = flops_per_img = None
     try:
-        cost = paste_loop.cost_analysis()
+        single = jax.jit(
+            lambda v, b: one_iter(v, b, jnp.float32(0.0), True)
+        ).lower(variables, batch)
+        cost = single.cost_analysis()
+        if cost is None:        # some backends only cost compiled artifacts
+            cost = single.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        fl = float(cost.get('flops', 0.0))
-        for cand in (fl / (iters * bsz), fl / bsz):
-            if 5e10 <= cand <= 2e13:
-                flops_per_img = cand
-                break
-        if flops_per_img:
-            mfu = flops_per_img * fps / V5E_PEAK_FLOPS
-    except Exception as e:  # cost analysis unsupported on some backends
-        print(f'# cost analysis unavailable: {e}', file=sys.stderr)
+        flops_per_img = float((cost or {}).get('flops', 0.0)) / bsz
+        if not flops_per_img > 0:
+            flops_per_img = None
+    except Exception as e:
+        print(f'# single-iter cost analysis unavailable: {e}',
+              file=sys.stderr)
+    if flops_per_img is None:
+        try:
+            cost = paste_loop.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            fl = float(cost.get('flops', 0.0))
+            for cand in (fl / (iters * bsz), fl / bsz):
+                if 5e10 <= cand <= 2e13:
+                    flops_per_img = cand
+                    break
+        except Exception as e:  # cost analysis unsupported on some backends
+            print(f'# cost analysis unavailable: {e}', file=sys.stderr)
+    if flops_per_img:
+        mfu = flops_per_img * fps / V5E_PEAK_FLOPS
 
     if dynamic and os.environ.get('BENCH_ROUTING', '1') == '1':
         # routing observability: MSM decision histogram + capacity-clip
@@ -202,6 +281,15 @@ def main():
     }
     if fps_np is not None:
         rec['no_paste_img_s'] = round(fps_np, 3)
+    if dynamic:
+        rec['capacities'] = list(capacity) if capacity else \
+            list(det.roi_head.dynamic_capacity)
+        rec['capacity_source'] = ('BENCH_CAPACITY (CAPACITY.json '
+                                  'calibration)' if capacity
+                                  else 'config default')
+    if msm_grafted:
+        rec['msm'] = ('toy-overfit-trained switch grafted '
+                      '(conv1 zero-embedded on a 32-channel P2 slice)')
     if mfu is not None:
         rec['mfu'] = round(mfu, 4)
         rec['flops_per_img_g'] = round(flops_per_img / 1e9, 1)

@@ -215,7 +215,7 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                             f'time: {dt:.3f}s, {msg}')
                 json_log.write(json.dumps(
                     {'mode': 'train', 'epoch': epoch + 1, 'iter': it + 1,
-                     'lr': lr, 'time': dt, **log}) + '\n')
+                     'step': step, 'lr': lr, 'time': dt, **log}) + '\n')
                 json_log.flush()
         if (epoch + 1) % ckpt_interval == 0:
             path = save_checkpoint(

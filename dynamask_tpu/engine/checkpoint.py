@@ -35,15 +35,20 @@ def save_checkpoint(work_dir: str, state, epoch: int,
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, jax.device_get(state), force=True)
     ckpt.wait_until_finished()
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return path
-    meta = dict(meta or {})
-    meta['epoch'] = epoch
-    meta['step'] = int(jax.device_get(state.step))
-    with open(osp.join(work_dir, f'epoch_{epoch}.meta.json'), 'w') as f:
-        json.dump(meta, f)
-    with open(osp.join(work_dir, 'latest'), 'w') as f:
-        f.write(f'epoch_{epoch}')
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        meta = dict(meta or {})
+        meta['epoch'] = epoch
+        meta['step'] = int(jax.device_get(state.step))
+        with open(osp.join(work_dir, f'epoch_{epoch}.meta.json'), 'w') as f:
+            json.dump(meta, f)
+        with open(osp.join(work_dir, 'latest'), 'w') as f:
+            f.write(f'epoch_{epoch}')
+    if jax.process_count() > 1:
+        # barrier AFTER the rank-0 sidecar writes: without it a peer can
+        # return, resolve 'latest' immediately and miss the pointer (the
+        # multihost test needed a poll loop to paper over exactly this)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f'ckpt_meta_epoch_{epoch}')
     return path
 
 

@@ -98,7 +98,11 @@ def main():
             nv = need[i][v]
             hist += np.bincount(nv, minlength=4)[:4]
             d = need[i].shape[0]  # capacities are fractions of padded D
-            frac.append([(nv >= j).sum() / d for j in (1, 2, 3)])
+            # demand counts ALL padded slots (not just valid dets): at
+            # inference, padded/invalid slots contend for the same static
+            # capacity ranks (routing_clip_stats NOTE), so sizing from
+            # valid-only demand would systematically under-provision
+            frac.append([(need[i] >= j).sum() / d for j in (1, 2, 3)])
             n_img += 1
 
     if not frac:

@@ -65,7 +65,8 @@ def _loss_curve(work_dir, keys=('loss', 'loss_mask', 'loss_rpn_cls'),
             for r in sampled]
 
 
-def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir):
+def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir,
+                dyn_caps=(0.5, 0.25, 0.125)):
     import jax
     from test_integration import toy_cfg
     from dynamask_tpu.apis import train_detector
@@ -116,7 +117,7 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir):
     # three inference modes: faithful cascade; dynamic at the SHIPPED
     # capacities (what bench.py times); dynamic at FULL capacity — the
     # latter isolates pure MSM-routing quality from capacity-clip cost
-    modes = (('faithful', None), ('dynamic', (0.5, 0.25, 0.125)),
+    modes = (('faithful', None), ('dynamic', tuple(dyn_caps)),
              ('dynamic_full_capacity', (1.0, 1.0, 1.0)))
     for mode, caps in modes:
         cfg.model.roi_head['dynamic_inference'] = caps is not None
@@ -173,6 +174,15 @@ def main():
     p.add_argument('--out', default=os.path.join(REPO, 'ACCURACY.json'))
     p.add_argument('--epochs', type=int, default=80)
     p.add_argument('--variants', default='faithful,all_stage')
+    p.add_argument('--control',
+                   default=os.path.join(REPO, 'reference_control.json'),
+                   help='reference-control block written by '
+                        'tools/reference_control.py; merged into the '
+                        'artifact when the file exists')
+    p.add_argument('--capacities', default=None,
+                   help='comma-separated dynamic capacities for the '
+                        '"dynamic" eval mode (e.g. from CAPACITY.json); '
+                        'default keeps the shipped config values')
     p.add_argument('--platform', default='cpu', choices=['cpu', 'default'],
                    help="'cpu' (default) keeps the toy run off the TPU — "
                         'the shared .jax_cache makes CPU compiles near-'
@@ -200,13 +210,16 @@ def main():
     tmp = tempfile.mkdtemp(prefix='dynamask_accuracy_')
     ann_file, img_dir = make_synthetic_coco(Path(tmp), num_imgs=4)
 
+    dyn_caps = (tuple(float(c) for c in args.capacities.split(','))
+                if args.capacities else (0.5, 0.25, 0.125))
     records = []
     for name in args.variants.split(','):
         name = name.strip()
         print(f'=== training variant {name} ===', flush=True)
         records.append(run_variant(name, all_stage=(name == 'all_stage'),
                                    epochs=args.epochs, workroot=tmp,
-                                   ann_file=ann_file, img_dir=img_dir))
+                                   ann_file=ann_file, img_dir=img_dir,
+                                   dyn_caps=dyn_caps))
         print(json.dumps(records[-1]['eval'], indent=1), flush=True)
 
     artifact = {
@@ -221,6 +234,9 @@ def main():
         'total_wall_s': None,  # filled below
         'variants': records,
     }
+    if args.control and os.path.isfile(args.control):
+        with open(args.control) as f:
+            artifact['reference_control'] = json.load(f)
     artifact['total_wall_s'] = round(time.time() - t_start, 1)
     with open(args.out, 'w') as f:
         json.dump(artifact, f, indent=1)
