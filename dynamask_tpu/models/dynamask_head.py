@@ -59,18 +59,22 @@ class DCNPack(nn.Module):
                           name='conv_offset')(x)
         weights = self.param('weight', kaiming_normal_fan_out(),
                              (k, k, x.shape[-1], self.out_channels))
-        # remat + roi chunking only under training, where the sampling
-        # temporaries of 512 RoIs × 56² dominate HBM; inference (100 RoIs,
-        # no backward) runs unchunked. DCN_TRAIN_NO_REMAT / DCN_TRAIN_NO_CHUNK
-        # are measurement knobs for the memory/recompute tradeoff.
+        # remat only under training, where the sampling temporaries of 512
+        # RoIs × 56² dominate HBM. RoI chunking is OFF by default since
+        # round 5: the 8-chunk serial while loops cost ~65 ms/step of loop
+        # overhead (train roofline, tools/profile_train_xplane.py: 792 ->
+        # 728 ms/step unchunked) and the unchunked transients fit v5e HBM
+        # at the flagship train scale; DCN_TRAIN_CHUNK=<n> re-enables
+        # chunking for memory-constrained runs, DCN_TRAIN_NO_REMAT trades
+        # HBM for recompute.
         import functools
         import os
         no_remat = os.environ.get('DCN_TRAIN_NO_REMAT', '0') == '1'
-        no_chunk = os.environ.get('DCN_TRAIN_NO_CHUNK', '0') == '1'
+        chunk = int(os.environ.get('DCN_TRAIN_CHUNK', '0'))
         dcn = functools.partial(
             deform_conv2d, kernel_size=k, padding=(k - 1) // 2,
             deform_groups=self.deform_groups,
-            roi_chunk=0 if (not train or no_chunk) else 64,
+            roi_chunk=chunk if train else 0,
             window=self.window)
         if train and not no_remat:
             dcn = jax.checkpoint(dcn)
@@ -159,6 +163,9 @@ class SFMStage(nn.Module):
     semantic_scale: float        # 1/semantic_out_stride for the RoI crop
     upsample: bool = True
     dcn_window: Optional[int] = 3
+    # static per-image RoI grouping (rois[i] belongs to image i//roi_group);
+    # enables the separable matmul crop at batch>1 (ops/roi_align.py)
+    roi_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, instance_feats: jnp.ndarray,
@@ -171,7 +178,8 @@ class SFMStage(nn.Module):
                       name='semantic_transform_in')(semantic_feat)
         sem = nn.relu(sem)
         ins_sem = simple_roi_align(sem, rois, roi_batch, self.out_size,
-                                   self.semantic_scale)
+                                   self.semantic_scale,
+                                   batch_group=self.roi_group)
 
         instance_preds = ClassSelectConv1x1(
             self.num_classes, name='instance_logits')(instance_feats,
@@ -242,6 +250,17 @@ class DynaMaskHead(nn.Module):
                         name=f'instance_conv_{i}')(x)
             x = nn.relu(x)
 
+        # every roi_head caller lays RoIs out grouped per image (train
+        # positive slots: (B, max_pos); test det slots: (B, D)) — EXCEPT the
+        # bucketed dynamic path, which sorts RoIs by routing need and passes
+        # stage_max_rois. The static grouping turns the SFM semantic crops
+        # into per-image interp matmuls at batch>1 (the training profile's
+        # top cost was these crops as point gathers).
+        nb = semantic_feats[0].shape[0]
+        roi_group = (rois.shape[0] // nb
+                     if (stage_max_rois is None and nb > 1
+                         and rois.shape[0] % nb == 0) else None)
+
         num_stages = len(self.stage_sup_size) - 1
         stage_instance_preds: List[jnp.ndarray] = []
         stage_detail_preds: List[jnp.ndarray] = []
@@ -271,6 +290,7 @@ class DynaMaskHead(nn.Module):
                 semantic_scale=scale,
                 upsample=upsample,
                 dcn_window=self.dcn_window,
+                roi_group=roi_group,
                 name=f'stage_{idx}')(x, sem_feat, cur_rois, cur_batch,
                                      cur_labels, train)
             stage_instance_preds.append(inst_p)

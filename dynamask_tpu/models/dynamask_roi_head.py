@@ -246,12 +246,17 @@ class DynaMaskRoIHead(StandardRoIHead):
         p2 = jax.lax.stop_gradient(feats[0])
         # crop AFTER the MSM's W-only 1×1 projection (exactly commutes —
         # see MaskPre): the materialized crop intermediate carries 128
-        # channels instead of 256
+        # channels instead of 256. Positive slots are grouped per image
+        # (B, max_pos) -> the batched separable matmul crop applies.
         proj = self.mask_predictor(p2, train, 'project')
+        nb = p2.shape[0]
+        grp = (rois.shape[0] // nb
+               if (nb > 1 and rois.shape[0] % nb == 0) else None)
         import functools
         crop_fn = jax.checkpoint(functools.partial(
             roi_align, out_size=self.msm_out_size,
-            spatial_scale=1.0 / self.msm_stride, sampling_ratio=1))
+            spatial_scale=1.0 / self.msm_stride, sampling_ratio=1,
+            batch_group=grp))
         crops = crop_fn(proj, rois, roi_batch)
         logits = self.mask_predictor(crops, train, 'head')
         rng = self.make_rng('sampling')
@@ -321,10 +326,14 @@ class DynaMaskRoIHead(StandardRoIHead):
         flat_labels = labels.reshape(n)
 
         # routing decision (no Gumbel noise at test: plain argmax);
-        # crop after the W-only MSM projection (exact — see MaskPre)
+        # crop after the W-only MSM projection (exact — see MaskPre).
+        # det slots are grouped (B, D) — rois here are in ORIGINAL order
+        # (the routing-need sort happens below), so the grouped matmul
+        # crop applies at batch>1.
         proj = self.mask_predictor(feats[0], False, 'project')
         crops = roi_align(proj, rois, roi_batch, self.msm_out_size,
-                          1.0 / self.msm_stride, sampling_ratio=1)
+                          1.0 / self.msm_stride, sampling_ratio=1,
+                          batch_group=d if b > 1 else None)
         route_logits = self.mask_predictor(crops, False, 'head')
         need = jnp.argmax(route_logits, -1)              # 0..3, 3 = finest
         order = jnp.argsort(-need, stable=True)

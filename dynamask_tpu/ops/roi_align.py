@@ -142,14 +142,16 @@ def _sample_coords(rois: jnp.ndarray, spatial_scale: float, out_size: int,
 
 
 @partial(jax.jit, static_argnames=('out_size', 'spatial_scale',
-                                   'sampling_ratio', 'aligned'))
+                                   'sampling_ratio', 'aligned',
+                                   'batch_group'))
 def roi_align(features: jnp.ndarray,
               rois: jnp.ndarray,
               roi_batch: jnp.ndarray,
               out_size: int,
               spatial_scale: float,
               sampling_ratio: int = 2,
-              aligned: bool = True) -> jnp.ndarray:
+              aligned: bool = True,
+              batch_group: int = None) -> jnp.ndarray:
     """Single-level RoIAlign.
 
     Args:
@@ -159,6 +161,13 @@ def roi_align(features: jnp.ndarray,
         out_size: output spatial size P (P×P bins).
         spatial_scale: feature stride reciprocal (e.g. 0.25 for stride 4).
         sampling_ratio: static samples-per-bin per axis.
+        batch_group: CALLER CONTRACT: when set, N == B * batch_group and
+            ``roi_batch == repeat(arange(B), batch_group)`` (the static
+            per-image grouping of train positive slots and test det slots).
+            Enables the separable interp-matmul path at B > 1 — the
+            training profile's #1 item was exactly these crops falling
+            back to point gathers at bs > 1 (436 ms/step of gather/scatter
+            fusions, tools/profile_train_xplane.py).
 
     Returns:
         (N, P, P, C) pooled features.
@@ -176,6 +185,11 @@ def roi_align(features: jnp.ndarray,
         # 128-lane full-bandwidth gather width and collapse to ~100 GB/s)
         return roi_align_separable(features, rois, out_size, spatial_scale,
                                    sampling_ratio, aligned)
+    if (jax.default_backend() == 'tpu' and batch_group
+            and n == b * batch_group):
+        return roi_align_separable_grouped(
+            features, rois.reshape(b, batch_group, 4), out_size,
+            spatial_scale, sampling_ratio, aligned)
     flat = features.reshape(b * h * w, c)
 
     ys, xs = _sample_coords(rois, spatial_scale, out_size, s, aligned)
@@ -276,13 +290,16 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray],
 
 def simple_roi_align(features: jnp.ndarray, rois: jnp.ndarray,
                      roi_batch: jnp.ndarray, out_size: int,
-                     spatial_scale: float, sampling_ratio: int = 1) -> jnp.ndarray:
+                     spatial_scale: float, sampling_ratio: int = 1,
+                     batch_group: int = None) -> jnp.ndarray:
     """Single-level, aligned RoIAlign used for semantic crops
     (reference: mmcv.ops.SimpleRoIAlign at dynamask_head.py:74). Default one
     sample per bin — these crops upsample (RoI extent ≲ out_size), where
-    one centred bilinear tap equals the adaptive rule."""
+    one centred bilinear tap equals the adaptive rule. ``batch_group``: see
+    :func:`roi_align` (static per-image RoI grouping -> matmul crops)."""
     return roi_align(features, rois, roi_batch, out_size, spatial_scale,
-                     sampling_ratio=sampling_ratio, aligned=True)
+                     sampling_ratio=sampling_ratio, aligned=True,
+                     batch_group=batch_group)
 
 
 @partial(jax.jit, static_argnames=('out_size', 'featmap_strides',
@@ -328,6 +345,30 @@ def tent_matrix(coords: jnp.ndarray, extent: int, out_size: int, s: int,
     t = jnp.where(inside, t, 0.0)
     t = t.reshape(n, out_size, s, extent)
     return jnp.mean(t, axis=2).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=('out_size', 'spatial_scale',
+                                   'sampling_ratio', 'aligned'))
+def roi_align_separable_grouped(features: jnp.ndarray,
+                                rois: jnp.ndarray,
+                                out_size: int,
+                                spatial_scale: float,
+                                sampling_ratio: int = 1,
+                                aligned: bool = True) -> jnp.ndarray:
+    """Batched separable RoIAlign over statically-grouped RoIs.
+
+    ``features (B, H, W, C)``, ``rois (B, K, 4)`` (RoI [b, k] crops from
+    image b) -> ``(B*K, P, P, C)``: vmap of :func:`roi_align_separable`
+    over images — each image's K RoIs become two batched interp matmuls
+    against that image's plane only (no cross-image contraction). This is
+    the bs>1 training form of the inference-proven matmul crop.
+    """
+    b, k = rois.shape[:2]
+    out = jax.vmap(
+        lambda plane, rk: roi_align_separable(
+            plane[None], rk, out_size, spatial_scale, sampling_ratio,
+            aligned))(features, rois)
+    return out.reshape(b * k, out_size, out_size, features.shape[-1])
 
 
 @partial(jax.jit, static_argnames=('out_size', 'spatial_scale',

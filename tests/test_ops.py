@@ -433,6 +433,54 @@ class TestSeparableRoIAlign:
             np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_grouped_matches_gather_path(self):
+        # the bs>1 training form: (B, K) statically-grouped RoIs crop from
+        # their own image's plane via per-image interp matmuls
+        from dynamask_tpu.ops.roi_align import (roi_align,
+                                                roi_align_separable_grouped)
+        key = jax.random.PRNGKey(2)
+        b, k = 4, 5
+        feats = jax.random.normal(key, (b, 25, 42, 16), jnp.float32)
+        rois = jax.random.uniform(jax.random.PRNGKey(3), (b, k, 4),
+                                  minval=-10., maxval=170.)
+        rois = jnp.concatenate([jnp.minimum(rois[..., :2], rois[..., 2:]),
+                                jnp.maximum(rois[..., :2], rois[..., 2:])],
+                               -1)
+        rb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        for s in (1, 2):
+            ref = roi_align(feats, rois.reshape(b * k, 4), rb, 28, 0.25,
+                            sampling_ratio=s)
+            got = roi_align_separable_grouped(feats, rois, 28, 0.25,
+                                              sampling_ratio=s)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_grouped_gradients_match(self):
+        # backward (the training path): plane cotangents agree with the
+        # gather path's scatter-add adjoint
+        from dynamask_tpu.ops.roi_align import (roi_align,
+                                                roi_align_separable_grouped)
+        b, k = 2, 3
+        feats = jax.random.normal(jax.random.PRNGKey(4), (b, 20, 30, 8))
+        rois = jnp.asarray([[[0., 0., 60., 50.], [-8., -4., 30., 30.],
+                             [70., 30., 130., 90.]],
+                            [[10., 10., 100., 70.], [0., 0., 119., 79.],
+                             [5., 5., 5., 5.]]])
+        rb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+
+        def f_ref(x):
+            return jnp.sum(jnp.sin(roi_align(
+                x, rois.reshape(b * k, 4), rb, 14, 0.25, sampling_ratio=1)))
+
+        def f_got(x):
+            return jnp.sum(jnp.sin(roi_align_separable_grouped(
+                x, rois, 14, 0.25, sampling_ratio=1)))
+
+        g_ref = jax.grad(f_ref)(feats)
+        g_got = jax.grad(f_got)(feats)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_matches_gather_path_tall_plane(self):
         # H > W exercises the y-first contraction branch (the wide-plane
         # branch contracts x first to shrink the materialized intermediate)

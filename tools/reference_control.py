@@ -257,7 +257,8 @@ def run_flax(det, variables, all_stage, steps, data, log_every=100):
 def main():
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')
     p = argparse.ArgumentParser()
-    p.add_argument('--steps', type=int, default=1000)
+    p.add_argument('--steps', type=int, default=1500)
+    p.add_argument('--frameworks', default='torch,flax')
     p.add_argument('--out', default=os.path.join(REPO, 'reference_control.json'))
     args = p.parse_args()
 
@@ -282,15 +283,22 @@ def main():
         'variants': {},
     }
     import test_torch_twin_train as TT
+    fw = [f.strip() for f in args.frameworks.split(',')]
     for variant, all_stage in (('faithful', False), ('all_stage', True)):
         # one identical grafted init per variant: flax trains from
         # `variables`, torch from thead/tmsm/tdetail (mutated in place)
         det, variables, thead, tmsm, tdetail, _, _ = TT.build_twins()
-        r_f = run_flax(det, variables, all_stage, args.steps, data)
-        print(f'[flax  {variant}] {json.dumps(r_f)}', flush=True)
-        r_t = run_torch(thead, tmsm, tdetail, all_stage, args.steps, data)
-        print(f'[torch {variant}] {json.dumps(r_t)}', flush=True)
-        block['variants'][variant] = {'torch_reference': r_t, 'flax': r_f}
+        row = {}
+        if 'flax' in fw:
+            row['flax'] = run_flax(det, variables, all_stage, args.steps,
+                                   data)
+            print(f'[flax  {variant}] {json.dumps(row["flax"])}', flush=True)
+        if 'torch' in fw:
+            row['torch_reference'] = run_torch(
+                thead, tmsm, tdetail, all_stage, args.steps, data)
+            print(f'[torch {variant}] {json.dumps(row["torch_reference"])}',
+                  flush=True)
+        block['variants'][variant] = row
     block['wall_s'] = round(time.time() - t0, 1)
 
     with open(args.out, 'w') as f:
