@@ -68,17 +68,38 @@ class S2DStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
         c = x.shape[-1]
         kernel = self.param('kernel', kaiming_normal_fan_out(),
                             (7, 7, c, self.features))
         kernel = kernel.astype(x.dtype)
         n, h, w, _ = x.shape
-        if h % 2 or w % 2:
+        # Measured A/B at the bench protocol (800x1344, 50-iter device
+        # loop, same backend session, 2026-08-20): 'hw' 43.9 img/s,
+        # 'w' 42.7, 'plain' 41.2 — the full 2x2 packing wins even though
+        # its 6-D transpose is a physical relayout (~1.7 ms traced): the
+        # 4x4-on-12ch conv tiles the MXU best. DYNAMASK_STEM selects a
+        # variant for measurement.
+        mode = os.environ.get('DYNAMASK_STEM', 'hw')
+        if h % 2 or w % 2 or mode == 'plain':
             return jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), [(3, 3), (3, 3)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if mode == 'w':
+            # W-only space-to-depth: the (W/2, 2, C) -> (W/2, 2C) merge is
+            # contiguous (no transpose); H stays a strided conv. Kernel
+            # (7, 4, 2C, out), fan-in 168. Measured slower than 'hw'.
+            xp = x.reshape(n, h, w // 2, 2 * c)
+            kp = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))
+            kp = kp.reshape(7, 4, 2, c, self.features).reshape(
+                7, 4, 2 * c, self.features)
+            return jax.lax.conv_general_dilated(
+                xp, kp, (2, 1), [(3, 3), (2, 1)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        # default 'hw': full 2x2 space-to-depth, 4x4 conv on 12 channels
         xp = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2,
+                                                    4 * c)
         kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
         kp = kp.reshape(4, 2, 4, 2, c, self.features)
         kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,

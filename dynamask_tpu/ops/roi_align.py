@@ -17,6 +17,18 @@ One deliberate deviation, documented for the record: mmcv's
 static ``sampling_ratio`` (default 2). With FPN level routing the per-bin
 extent is ~1-2 feature pixels, so 2×2 sampling brackets the adaptive choice.
 
+Measured record for the 1000-RoI multilevel bbox extract (v5e,
+tools/bench_roialign.py, 2026-08-20) — the inference roofline's #2 item:
+  * sampling_ratio 2 -> 1: 5.04 -> 2.42 ms (2.08x, ~2.6 ms/img back), but
+    the sample positions differ (it is a semantics choice, not an exact
+    rewrite) — NOT adopted as default; ratio stays configurable per
+    extractor config.
+  * Pallas DMA-resident gather: rejected on the traffic model — fetching
+    the 2 needed plane rows per (RoI, out-row) moves ~4.8 GB/img vs the
+    point gathers' ~1 GB/img; row-sharing across RoIs is data-dependent.
+    The gather path is already chunked to the 128-lane full-bandwidth
+    width (below).
+
 All functions are differentiable (XLA emits the scatter-add backward that the
 reference implements by hand in CUDA).
 """

@@ -20,9 +20,11 @@ def plain_stem_conv(x, kernel):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+@pytest.mark.parametrize('mode', ['w', 'hw'])
 @pytest.mark.parametrize('hw', [(64, 64), (32, 96), (160, 128)])
-def test_s2d_stem_matches_plain_conv(hw):
+def test_s2d_stem_matches_plain_conv(hw, mode, monkeypatch):
     from dynamask_tpu.models.resnet import S2DStemConv
+    monkeypatch.setenv('DYNAMASK_STEM', mode)
     h, w = hw
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
