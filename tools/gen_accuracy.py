@@ -66,7 +66,7 @@ def _loss_curve(work_dir, keys=('loss', 'loss_mask', 'loss_rpn_cls'),
 
 
 def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir,
-                dyn_caps=(0.5, 0.25, 0.125)):
+                dyn_caps=(0.5, 0.25, 0.125), reuse=False):
     import jax
     from test_integration import toy_cfg
     from dynamask_tpu.apis import train_detector
@@ -95,12 +95,18 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir,
 
     work = os.path.join(workroot, name)
     t0 = time.time()
-    state = train_detector(cfg, work_dir=work, seed=0,
-                           devices=jax.devices()[:1], validate=False)
-    train_s = time.time() - t0
-
-    variables = {'params': jax.device_get(state.params),
-                 'batch_stats': jax.device_get(state.batch_stats)}
+    if reuse and os.path.isfile(os.path.join(work, 'latest')):
+        from dynamask_tpu.engine.checkpoint import load_params_only
+        params, batch_stats = load_params_only(work, None)
+        variables = {'params': params, 'batch_stats': batch_stats}
+        train_s = 0.0
+        print(f'(reusing trained checkpoint in {work})', flush=True)
+    else:
+        state = train_detector(cfg, work_dir=work, seed=0,
+                               devices=jax.devices()[:1], validate=False)
+        variables = {'params': jax.device_get(state.params),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        train_s = time.time() - t0
     dataset = build_dataset(dict(cfg.data['test']),
                             default_args=dict(test_mode=True))
 
@@ -147,7 +153,81 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir,
     record['segm_mAP_delta_capacity_clip'] = round(
         d.get('segm_mAP', float('nan'))
         - dfull.get('segm_mAP', float('nan')), 4)
-    return record
+    return record, cfg, variables
+
+
+def calibrate_capacities(cfg, variables, workroot, n_images=32,
+                         quantiles=(0.9, 1.0)):
+    """CAPACITY.json: per-image routing demand of the TRAINED switch.
+
+    Runs the dynamic path at FULL capacity (no clipping -> true demand)
+    over a LARGER synthetic set than the 4 training images, counting
+    demand over ALL padded det slots (they contend for the static
+    capacity ranks at runtime — same rule as tools/calibrate_capacity.py).
+    Returns the artifact dict; 'suggested' maps quantile -> capacities.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from test_data import make_synthetic_coco
+    from dynamask_tpu.data import build_dataset, build_dataloader
+    from dynamask_tpu.models import build_detector
+
+    calib_dir = Path(workroot) / 'calib_set'
+    calib_dir.mkdir(exist_ok=True)
+    ann_file, img_dir = make_synthetic_coco(calib_dir, num_imgs=n_images)
+    cfg.model.roi_head['dynamic_inference'] = True
+    cfg.model.roi_head['dynamic_capacity'] = (1.0, 1.0, 1.0)
+    det = build_detector(cfg.model, cfg.train_cfg, cfg.test_cfg)
+    data_cfg = dict(cfg.data['test'])
+    data_cfg.update(ann_file=ann_file, img_prefix=img_dir)
+    dataset = build_dataset(data_cfg, default_args=dict(test_mode=True))
+    loader = build_dataloader(dataset, samples_per_gpu=2, workers_per_gpu=2,
+                              shuffle=False, drop_last=False)
+
+    @jax.jit
+    def routed(v, batch):
+        _, inter = det.apply(v, batch, method='simple_test',
+                             mutable=['intermediates'])
+        return inter['intermediates']['roi_head']['msm_routing'][0]['need']
+
+    hist = np.zeros(4, np.int64)
+    frac = []
+    for batch_np in loader:
+        batch_np.pop('img_id', None)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        need = np.asarray(jax.device_get(routed(variables, batch)))
+        b = batch['image'].shape[0]
+        need = need.reshape(b, -1)
+        for i in range(b):
+            hist += np.bincount(need[i], minlength=4)[:4]
+            d = need[i].shape[0]
+            frac.append([(need[i] >= j).sum() / d for j in (1, 2, 3)])
+    frac = np.asarray(frac)
+    suggested = {}
+    for q in quantiles:
+        sug = [max(round(float(np.quantile(frac[:, j], q)), 3), 0.01)
+               for j in range(3)]
+        for j in (1, 2):
+            sug[j] = min(sug[j], sug[j - 1])
+        suggested[f'q{q}'] = sug
+    return {
+        'what': 'dynamic_capacity calibration from the TRAINED MSM routing '
+                'demand at full capacity (no clipping), demand counted '
+                'over ALL padded det slots; regenerate via '
+                'tools/gen_accuracy.py --calibrate-out',
+        'checkpoint': 'all_stage overfit (gen_accuracy workroot)',
+        'images': int(frac.shape[0]),
+        'routing_hist_fraction': [round(float(x), 4) for x in
+                                  (hist / max(hist.sum(), 1))],
+        'demand_fractions': {
+            'mean': [round(float(x), 4) for x in frac.mean(0)],
+            'p90': [round(float(x), 4) for x in
+                    np.quantile(frac, 0.9, axis=0)],
+            'max': [round(float(x), 4) for x in frac.max(0)],
+        },
+        'suggested': suggested,
+    }
 
 
 def _routing_stats(det, variables, dataset):
@@ -183,6 +263,17 @@ def main():
                    help='comma-separated dynamic capacities for the '
                         '"dynamic" eval mode (e.g. from CAPACITY.json); '
                         'default keeps the shipped config values')
+    p.add_argument('--workroot', default=None,
+                   help='persistent work dir (default: fresh tempdir). '
+                        'With --reuse, existing checkpoints in it are '
+                        'evaluated instead of retraining')
+    p.add_argument('--reuse', action='store_true',
+                   help='skip training when <workroot>/<variant>/latest '
+                        'exists (re-evaluate at new capacities)')
+    p.add_argument('--calibrate-out', default=None,
+                   help='write a CAPACITY.json calibration of '
+                        'dynamic_capacity from the trained all_stage '
+                        'routing demand over a 32-image synthetic set')
     p.add_argument('--platform', default='cpu', choices=['cpu', 'default'],
                    help="'cpu' (default) keeps the toy run off the TPU — "
                         'the shared .jax_cache makes CPU compiles near-'
@@ -207,20 +298,30 @@ def main():
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
     t_start = time.time()
-    tmp = tempfile.mkdtemp(prefix='dynamask_accuracy_')
+    tmp = args.workroot or tempfile.mkdtemp(prefix='dynamask_accuracy_')
+    os.makedirs(tmp, exist_ok=True)
     ann_file, img_dir = make_synthetic_coco(Path(tmp), num_imgs=4)
 
     dyn_caps = (tuple(float(c) for c in args.capacities.split(','))
                 if args.capacities else (0.5, 0.25, 0.125))
     records = []
+    calib = None
     for name in args.variants.split(','):
         name = name.strip()
         print(f'=== training variant {name} ===', flush=True)
-        records.append(run_variant(name, all_stage=(name == 'all_stage'),
-                                   epochs=args.epochs, workroot=tmp,
-                                   ann_file=ann_file, img_dir=img_dir,
-                                   dyn_caps=dyn_caps))
-        print(json.dumps(records[-1]['eval'], indent=1), flush=True)
+        rec, vcfg, variables = run_variant(
+            name, all_stage=(name == 'all_stage'), epochs=args.epochs,
+            workroot=tmp, ann_file=ann_file, img_dir=img_dir,
+            dyn_caps=dyn_caps, reuse=args.reuse)
+        records.append(rec)
+        print(json.dumps(rec['eval'], indent=1), flush=True)
+        if args.calibrate_out and name == 'all_stage':
+            calib = calibrate_capacities(vcfg, variables, tmp)
+            with open(args.calibrate_out, 'w') as f:
+                json.dump(calib, f, indent=1)
+                f.write('\n')
+            print(f'wrote {args.calibrate_out}: '
+                  f'{json.dumps(calib["suggested"])}', flush=True)
 
     artifact = {
         'what': 'DynaMask overfit accuracy proxy: 4-image synthetic COCO, '
@@ -237,6 +338,8 @@ def main():
     if args.control and os.path.isfile(args.control):
         with open(args.control) as f:
             artifact['reference_control'] = json.load(f)
+    if calib is not None:
+        artifact['capacity_calibration'] = calib
     artifact['total_wall_s'] = round(time.time() - t_start, 1)
     with open(args.out, 'w') as f:
         json.dump(artifact, f, indent=1)
