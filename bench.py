@@ -33,15 +33,27 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def _graft_toy_msm(variables, ckpt_path):
-    """Copy trained mask_predictor leaves from a toy checkpoint into the
+    """Copy trained mask_predictor leaves from a toy checkpoint (orbax work
+    dir, or the checked-in ``artifacts/msm_toy_overfit.npz``) into the
     flagship variable tree (in place, host side). Shape-matching leaves copy
     verbatim; conv1's (1, 1, 32, 128) kernel is zero-embedded into the
     flagship (1, 1, 256, 128)."""
     import sys as _sys
-    from dynamask_tpu.engine.checkpoint import _resolve_ckpt_path
-    import orbax.checkpoint as ocp
-    restored = ocp.StandardCheckpointer().restore(
-        _resolve_ckpt_path(os.path.abspath(ckpt_path)))
+    if ckpt_path.endswith('.npz'):
+        flat = np.load(ckpt_path)
+        restored = {}
+        for key in flat.files:
+            parts = key.split('/')
+            node = restored.setdefault(parts[0], {}).setdefault(
+                'roi_head', {}).setdefault('mask_predictor', {})
+            for p in parts[1:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = flat[key]
+    else:
+        from dynamask_tpu.engine.checkpoint import _resolve_ckpt_path
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            _resolve_ckpt_path(os.path.abspath(ckpt_path)))
     stats = {'copied': 0, 'embedded': 0, 'skipped': 0}
 
     def walk(src, dst):
@@ -122,6 +134,10 @@ def main():
         variables['batch_stats'] = jax.tree_util.tree_map(
             lambda x: np.abs(x) + 0.5, variables['batch_stats'])
     msm_grafted = False
+    default_msm = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'artifacts', 'msm_toy_overfit.npz')
+    if 'BENCH_MSM_CKPT' not in os.environ and os.path.isfile(default_msm):
+        os.environ['BENCH_MSM_CKPT'] = default_msm   # checked-in artifact
     if os.environ.get('BENCH_MSM_CKPT'):
         # graft the toy-overfit-TRAINED Mask Switch Module into the random
         # flagship weights so the routing histogram reflects a trained

@@ -42,6 +42,13 @@ model = dict(
         loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
     roi_head=dict(
         type='DynaMaskRoIHead',
+        # static admission fractions for the bucketed dynamic-inference
+        # path (28/56/112 stages), CALIBRATED from the trained switch's
+        # routing demand at full capacity (CAPACITY.json, q=1.0 -> zero
+        # clipping on the calibration set; tools/gen_accuracy.py
+        # --calibrate-out). bench.py and ACCURACY.json run this SAME
+        # operating point.
+        dynamic_capacity=(1.0, 1.0, 0.01),
         bbox_roi_extractor=dict(
             type='SingleRoIExtractor',
             roi_layer=dict(type='RoIAlign', output_size=7, sampling_ratio=0),

@@ -153,6 +153,13 @@ def run_variant(name, all_stage, epochs, workroot, ann_file, img_dir,
     record['segm_mAP_delta_capacity_clip'] = round(
         d.get('segm_mAP', float('nan'))
         - dfull.get('segm_mAP', float('nan')), 4)
+    clipped = (d.get('routing') or {}).get('clipped')
+    if clipped is not None and not any(clipped):
+        record['note_capacity'] = (
+            'zero RoIs clipped at these capacities: the remaining '
+            'dynamic-vs-full delta is routing-HONORED inference (stages '
+            'the switch deems unnecessary are skipped) vs running the '
+            'full cascade anyway, not capacity starvation')
     return record, cfg, variables
 
 
