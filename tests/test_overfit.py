@@ -73,8 +73,13 @@ def _overfit_run(tmp_path, all_stage):
 
 def test_dynamask_overfits_synthetic_coco(tmp_path):
     """all_stage_instance_loss variant: full memorization. Recorded in
-    ACCURACY.json (2026-08-20: bbox 0.556 / segm 0.796); thresholds carry
-    margin for run-to-run jitter of the 4-image proxy."""
+    ACCURACY.json (round 5, post gradient-fidelity fix: bbox 0.4847 /
+    segm 0.6199 at the pinned seed 0). Thresholds justified by the
+    recorded seed-jitter study (ACCURACY.json `overfit_seed_jitter`):
+    seeds 0/1 land bbox 0.46-0.49 / segm 0.62-0.72; seed 2's from-scratch
+    detector training collapses outright (bbox 0.05) — the 4-image proxy
+    is init-sensitive, which is why this test pins seed 0 and why the
+    bbox gate sits at 0.45 rather than the r3-era 0.6."""
     metrics = _overfit_run(tmp_path, all_stage=True)
     assert metrics['bbox_mAP'] >= 0.45, metrics
     assert metrics['segm_mAP'] >= 0.55, metrics
@@ -83,14 +88,19 @@ def test_dynamask_overfits_synthetic_coco(tmp_path):
 def test_dynamask_faithful_loss_trains(tmp_path):
     """The SHIPPED faithful configuration (last-stage-only instance BCE —
     the reference's active behavior, cross_entropy_loss.py:483): the loss
-    converges (loss_masks 4.8 -> 0.26 over 80 epochs) and produces sane
-    boxes and nonzero masks end-to-end, but does NOT fully memorize the
-    4-image set — the intermediate cascade stages are underdetermined
-    without direct supervision and the boundary fusion inherits their
-    noise. Recorded in ACCURACY.json (2026-08-20: bbox 0.463 / segm 0.159);
-    asserted with margin. This documents the faithful path's trained
-    behavior rather than hiding it behind the declared-but-commented
-    all-stage loss."""
+    converges and produces sane boxes and masks end-to-end, but does NOT
+    fully memorize the 4-image set — the intermediate cascade stages are
+    underdetermined without direct supervision and the test-time boundary
+    fusion inherits their noise. Round-5 evidence that this is INTRINSIC
+    to the reference's active loss, not a port bug: (a) per-step
+    loss+gradient parity vs a literal-reference torch twin
+    (tests/test_torch_twin_train.py, max grad rel-L2 2.2e-6); (b) the
+    twin-controlled memorization experiment (ACCURACY.json
+    `reference_control`): the torch twin also fails to produce usable
+    fused masks under the faithful loss (fused IoU 0.02 vs all_stage
+    0.97). Recorded round-5 metrics (post gradient-fidelity fix — the
+    detached detail normalizer IMPROVED faithful training): bbox 0.6439 /
+    segm 0.3538 (was 0.463/0.159); asserted with margin."""
     metrics = _overfit_run(tmp_path, all_stage=False)
     assert metrics['bbox_mAP'] >= 0.30, metrics
-    assert metrics['segm_mAP'] >= 0.08, metrics
+    assert metrics['segm_mAP'] >= 0.12, metrics
